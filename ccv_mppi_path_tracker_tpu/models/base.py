@@ -1,0 +1,42 @@
+"""Dynamics model interface.
+
+A model is a *pure, batched* Euler step ``(state, u, dt) -> state`` over rows
+of shape (..., S) and (..., U) — the functional, vectorized re-statement of
+the reference's in-place per-sample ``predict_NextState`` mutation
+(src/diff_drive_mppi.cpp:104-109). Batching is by broadcasting, not vmap, so
+the same function serves K-sample rollouts, the single optimal-path re-roll,
+and the sim plant.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Model:
+    """A dynamics family.
+
+    step: (state (..., S), u (..., U), dt) -> next state (..., S).
+    control_names / state_names: documentation + CSV headers.
+    aux_from_rollout: optional post-rollout vectorized pass computing derived
+        per-step quantities from the whole trajectory (full-body ZMP chain,
+        src/full_body_mppi.cpp:468-486). Signature
+        (states (T, ..., S), controls (T-1, ..., U), dt, params) -> aux pytree.
+    """
+
+    name: str
+    state_names: tuple
+    control_names: tuple
+    step: Callable
+    aux_from_rollout: Optional[Callable] = None
+    default_params: object = None
+
+    @property
+    def num_states(self) -> int:
+        return len(self.state_names)
+
+    @property
+    def num_controls(self) -> int:
+        return len(self.control_names)

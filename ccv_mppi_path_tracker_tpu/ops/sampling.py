@@ -1,0 +1,57 @@
+"""Gaussian control-perturbation sampling.
+
+One batched draw replaces the reference's K x (T-1) x U serial
+``std::normal_distribution`` loop (src/diff_drive_mppi.cpp:81-102). Semantics
+preserved:
+
+- samples are centered on the *previous optimal sequence* (warm start, no
+  one-step shift — src/diff_drive_mppi.cpp:89-90);
+- the draw is clamped to the box bounds afterwards (:98-99), so the sampling
+  distribution is a censored Gaussian, exactly as in the reference;
+- ``steer_off`` zeroes the direction channel after clamping
+  (src/full_body_mppi.cpp:517).
+
+Layout is time-major (T-1, K, U): ``lax.scan`` consumes the leading axis, and
+K rides the TPU lane dimension in every elementwise op.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ccv_mppi_path_tracker_tpu.core.config import SolverParams
+
+# Control-channel index of the steering/"direction" input in the steering and
+# full-body models (models/steering_unicycle.py, models/full_body.py).
+STEER_DIM = 2
+
+
+def sample_controls(
+    key,
+    u_prev: jax.Array,
+    params: SolverParams,
+    num_samples: int,
+    steer_off: bool = False,
+    noise: Optional[jax.Array] = None,
+):
+    """Draw K clamped-Gaussian control sequences.
+
+    u_prev: (T-1, U) sampling mean. Returns (T-1, K, U).
+    noise: optional pre-drawn standard normals of shape (T-1, K, U); used by
+        the parity harness to inject identical noise into solver and oracle
+        (the reference RNG is reseeded from random_device each cycle and
+        cannot be reproduced any other way).
+    """
+    tm1, u_dim = u_prev.shape
+    if noise is None:
+        noise = jax.random.normal(
+            key, (tm1, num_samples, u_dim), dtype=u_prev.dtype
+        )
+    u = u_prev[:, None, :] + noise * params.control_noise
+    u = jnp.clip(u, params.u_min, params.u_max)
+    if steer_off:
+        u = u.at[..., STEER_DIM].set(0.0)
+    return u

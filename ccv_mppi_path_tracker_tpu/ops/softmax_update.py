@@ -1,0 +1,72 @@
+"""Softmax importance weights and the weighted control update.
+
+Reference semantics (calc_Weights, src/diff_drive_mppi.cpp:212-223):
+``w_i = exp(-cost_i / lambda) / sum_j exp(-cost_j / lambda)`` with NO
+baseline subtraction — which underflows to all-zero weights (0/0) once costs
+exceed ~700*lambda. This implementation subtracts the minimum cost before
+exponentiating, which is mathematically identical whenever the reference is
+finite and stays well-posed when it is not (documented divergence; the parity
+suite uses cost scales where both are finite).
+
+Under sample-axis sharding the baseline is a ``pmin`` and both reductions are
+``psum`` over the mesh axis — this pair of collectives is the entire
+communication pattern of distributed MPPI.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def softmax_weights(costs: jax.Array, lam, axis_name: Optional[str] = None):
+    """Globally-normalized importance weights from per-sample costs.
+
+    costs: (K_local,). Returns (weights (K_local,), stats dict). When
+    ``axis_name`` is given the normalization spans all shards, so
+    concatenating per-shard weights yields the global softmax.
+    """
+    baseline = jnp.min(costs)
+    if axis_name is not None:
+        baseline = jax.lax.pmin(baseline, axis_name)
+    unnorm = jnp.exp(-(costs - baseline) / lam)
+    denom = jnp.sum(unnorm)
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
+    weights = unnorm / denom
+
+    sum_w2 = jnp.sum(weights * weights)
+    mean_cost = jnp.sum(costs)
+    if axis_name is not None:
+        sum_w2 = jax.lax.psum(sum_w2, axis_name)
+        mean_cost = jax.lax.psum(mean_cost, axis_name)
+        k_total = costs.shape[0] * jax.lax.axis_size(axis_name)
+    else:
+        k_total = costs.shape[0]
+    stats = {
+        "min_cost": baseline,
+        "mean_cost": mean_cost / k_total,
+        # Effective sample size of the importance weights, in [1, K].
+        "ess": 1.0 / sum_w2,
+    }
+    return weights, stats
+
+
+def weighted_update(
+    weights: jax.Array, samples: jax.Array, axis_name: Optional[str] = None
+):
+    """New optimal sequence = importance-weighted average of the samples.
+
+    weights: (K,) globally normalized; samples: (T-1, K, U).
+    Returns (T-1, U) (reference determine_OptimalSolution,
+    src/diff_drive_mppi.cpp:225-246). The contraction over K is a matmul that
+    XLA places on the MXU for large K.
+    """
+    u = jnp.einsum(
+        "k,tku->tu", weights, samples, preferred_element_type=samples.dtype
+    )
+    if axis_name is not None:
+        u = jax.lax.psum(u, axis_name)
+    return u

@@ -1,0 +1,97 @@
+"""Command geometry: optimal solution -> actuator commands.
+
+The reference maps the head of the optimal sequence to a ``Twist`` (v, w) and
+a ``CmdPoseByRadian`` (left/right wheel steering angles, fore/rear pitch,
+upper-body roll):
+
+- diff-drive node: zero steering, constant pitch offset
+  (src/diff_drive_mppi.cpp:255-263).
+- steering node: turning-radius geometry R = |v/w|,
+  steer_in  = atan2(R sin d, R cos d - tread/2),
+  steer_out = atan2(R sin d, R cos d + tread/2),
+  inner/outer assigned by the sign of w
+  (src/steering_diff_drive_mppi.cpp:273-296). IEEE quirks preserved
+  bit-for-bit from the C++: w=0 gives R=inf and atan2(inf, inf) = pi/4 for
+  both wheels (NOT the commanded direction); v=w=0 gives R=NaN and NaN
+  steering angles. Downstream consumers that need safe angles should gate on
+  |w| (the reference publishes the NaN).
+- full-body node: same steering geometry (on the ``direction`` control) plus
+  the integrated, clamped upper-body roll command
+  (src/full_body_mppi.cpp:246-275).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+def _pytree_dataclass(cls):
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+@_pytree_dataclass
+@dataclasses.dataclass
+class WheelSteerCommand:
+    """The full actuator command set (Twist + CmdPoseByRadian equivalents)."""
+
+    v: jax.Array
+    w: jax.Array
+    steer_l: jax.Array
+    steer_r: jax.Array
+    roll: jax.Array
+    fore: jax.Array
+    rear: jax.Array
+
+
+def wheel_steer_angles(v, w, direction, tread):
+    """(v, w, direction) -> (steer_l, steer_r) via turning-radius geometry."""
+    r = jnp.abs(v / w)
+    sin_d, cos_d = jnp.sin(direction), jnp.cos(direction)
+    steer_in = jnp.arctan2(r * sin_d, r * cos_d - tread / 2.0)
+    steer_out = jnp.arctan2(r * sin_d, r * cos_d + tread / 2.0)
+    left_is_inner = w > 0.0
+    steer_l = jnp.where(left_is_inner, steer_in, steer_out)
+    steer_r = jnp.where(left_is_inner, steer_out, steer_in)
+    return steer_l, steer_r
+
+
+def command_from_solution(
+    model_name: str,
+    u0,
+    dt,
+    tread: float = 0.501,
+    pitch_offset: float = 0.0,
+    current_roll=0.0,
+    roll_min: float = -0.5235987755982988,
+    roll_max: float = 0.5235987755982988,
+    roll_off: bool = False,
+    steer_off: bool = False,
+) -> WheelSteerCommand:
+    """Build the actuator command from the head of the optimal sequence."""
+    zero = jnp.zeros_like(u0[0])
+    v, w = u0[0], u0[1]
+    po = jnp.asarray(pitch_offset, u0.dtype)
+
+    if model_name == "unicycle":
+        steer_l = steer_r = zero
+        roll = zero
+    else:
+        direction = u0[2]
+        if steer_off:
+            steer_l = steer_r = zero
+        else:
+            steer_l, steer_r = wheel_steer_angles(v, w, direction, tread)
+        if model_name == "full_body":
+            roll = jnp.clip(current_roll + u0[3] * dt, roll_min, roll_max)
+            if roll_off:
+                roll = zero
+        else:
+            roll = zero
+
+    return WheelSteerCommand(
+        v=v, w=w, steer_l=steer_l, steer_r=steer_r, roll=roll, fore=po, rear=po
+    )

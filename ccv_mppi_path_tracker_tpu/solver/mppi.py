@@ -1,0 +1,118 @@
+"""The MPPI control step.
+
+One pure function fuses the reference's per-cycle sequence
+sampling -> predict_States -> calc_Weights -> determine_OptimalSolution
+(run loop, src/diff_drive_mppi.cpp:332-369) into a single jitted program:
+
+    sample K Gaussian sequences around the warm start   (ops/sampling.py)
+    scan-rollout all K trajectories                     (ops/rollout.py)
+    [full body] vectorized ZMP chain                    (models/full_body.py)
+    per-trajectory tracking cost                        (ops/costs.py)
+    min-baseline softmax weights                        (ops/softmax_update.py)
+    importance-weighted control update                  (ops/softmax_update.py)
+
+Everything stays device-resident; the host only feeds (pose, dt) and reads
+u[0]. ``dt`` is a traced scalar, mirroring the reference's wall-clock-measured
+dt (src/diff_drive_mppi.cpp:346-348) without triggering recompiles. The same
+function body serves single-device jit and shard_map over a "samples" mesh
+axis (``axis_name`` switches the reductions to collectives).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ccv_mppi_path_tracker_tpu.core.config import CostParams, SolverConfig, SolverParams
+from ccv_mppi_path_tracker_tpu.core.types import ControllerState, StepResult
+from ccv_mppi_path_tracker_tpu.models.registry import get_model
+from ccv_mppi_path_tracker_tpu.ops.costs import trajectory_costs
+from ccv_mppi_path_tracker_tpu.ops.rollout import rollout
+from ccv_mppi_path_tracker_tpu.ops.sampling import sample_controls
+from ccv_mppi_path_tracker_tpu.ops.softmax_update import (
+    softmax_weights,
+    weighted_update,
+)
+from ccv_mppi_path_tracker_tpu.paths.resample import PathBuffer, resample_reference
+
+
+def mppi_step(
+    cfg: SolverConfig,
+    ctrl: ControllerState,
+    state,
+    path: PathBuffer,
+    dt,
+    sp: SolverParams,
+    cp: CostParams,
+    model_params=None,
+    noise=None,
+    axis_name: Optional[str] = None,
+    num_samples: Optional[int] = None,
+):
+    """Run one MPPI control cycle. Returns (next ControllerState, StepResult).
+
+    cfg: static structure (model, K, T). num_samples overrides cfg.num_samples
+        for the per-shard K under shard_map.
+    state: (S,) current measured state.
+    noise: optional injected standard normals (T-1, K, U) for parity tests.
+    axis_name: mesh axis for sample-sharded execution.
+    """
+    model = get_model(cfg.model)
+    if model_params is None:
+        model_params = model.default_params
+    k_local = num_samples if num_samples is not None else cfg.num_samples
+
+    carry_key, use_key = jax.random.split(ctrl.key)
+    if axis_name is not None:
+        use_key = jax.random.fold_in(use_key, jax.lax.axis_index(axis_name))
+
+    ref = resample_reference(path, state[:2], cp.v_ref, dt, cfg.horizon)
+
+    u_samples = sample_controls(
+        use_key, ctrl.u_prev, sp, k_local, steer_off=cfg.steer_off, noise=noise
+    )
+
+    state0 = jnp.broadcast_to(state, (k_local,) + state.shape)
+    states = rollout(model.step, state0, u_samples, dt)  # (T, K, S)
+
+    aux = {}
+    if model.aux_from_rollout is not None:
+        aux = model.aux_from_rollout(states, u_samples, dt, model_params)
+
+    costs = trajectory_costs(cfg.model, states, u_samples, aux, ref, cp)
+    weights, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
+    u_opt = weighted_update(weights, u_samples, axis_name=axis_name)
+
+    opt_states = rollout(model.step, state, u_opt, dt)  # (T, S)
+
+    next_ctrl = ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
+    result = StepResult(
+        u_opt=u_opt, u0=u_opt[0], ref=ref, opt_states=opt_states, stats=stats
+    )
+    return next_ctrl, result
+
+
+class MPPISolver:
+    """Convenience wrapper owning the jitted step for one configuration.
+
+    Replaces the reference controller node classes (DiffDriveMPPI etc.) minus
+    the ROS plumbing: construct with a config, call :meth:`step` each control
+    cycle with the measured state.
+    """
+
+    def __init__(self, cfg: SolverConfig, donate: bool = True):
+        self.cfg = cfg
+        self.model = get_model(cfg.model)
+        step = functools.partial(mppi_step, cfg)
+        self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    def init(self, seed: int = 0, dtype=jnp.float32) -> ControllerState:
+        return ControllerState.initial(
+            jax.random.PRNGKey(seed), self.cfg.horizon, self.model.num_controls, dtype
+        )
+
+    def step(self, ctrl, state, path, dt, sp, cp, model_params=None):
+        return self._step(ctrl, state, path, dt, sp, cp, model_params)

@@ -1,0 +1,92 @@
+"""Unit tests for the MPPI pipeline stages."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccv_mppi_path_tracker_tpu.core.config import make_solver_params
+from ccv_mppi_path_tracker_tpu.ops import (
+    min_sq_distance,
+    rollout,
+    sample_controls,
+    softmax_weights,
+    weighted_update,
+)
+from ccv_mppi_path_tracker_tpu.models import get_model
+
+
+def test_sampling_mean_and_clamp():
+    sp = make_solver_params(0.5, 1.0, [-1.2, -2.0], [1.2, 2.0], dtype=np.float64)
+    u_prev = jnp.array([[1.1, 0.0]] * 9)  # near upper v bound
+    key = jax.random.PRNGKey(0)
+    u = sample_controls(key, u_prev, sp, 4096)
+    assert u.shape == (9, 4096, 2)
+    assert float(jnp.max(u[..., 0])) <= 1.2
+    assert float(jnp.min(u[..., 0])) >= -1.2
+    # mean of the clamped draw sits between the warm start and the bound
+    assert 0.9 < float(jnp.mean(u[..., 1])) + 1.0 < 1.1  # w mean ~ 0
+
+
+def test_sampling_noise_injection_exact():
+    sp = make_solver_params(0.5, 1.0, [-10.0, -10.0], [10.0, 10.0], dtype=np.float64)
+    u_prev = jnp.zeros((4, 2))
+    noise = jnp.ones((4, 3, 2))
+    u = sample_controls(jax.random.PRNGKey(0), u_prev, sp, 3, noise=noise)
+    np.testing.assert_allclose(np.asarray(u), 0.5, rtol=1e-15)
+
+
+def test_steer_off_zeroes_channel():
+    sp = make_solver_params(0.5, 1.0, [-1] * 5, [1] * 5, dtype=np.float64)
+    u = sample_controls(jax.random.PRNGKey(1), jnp.zeros((5, 5)), sp, 16, steer_off=True)
+    np.testing.assert_array_equal(np.asarray(u[..., 2]), 0.0)
+
+
+def test_min_sq_distance_matches_bruteforce_and_cap():
+    rng = np.random.RandomState(3)
+    xy = rng.randn(6, 11, 2) * 5
+    ref = rng.randn(15, 2)
+    out = np.asarray(min_sq_distance(jnp.array(xy), jnp.array(ref)))
+    brute = np.min(
+        np.sum((xy[:, :, None, :] - ref[None, None, :, :]) ** 2, axis=-1), axis=-1
+    )
+    np.testing.assert_allclose(out, np.minimum(brute, 1e4), rtol=1e-12)
+    # cap: points 200 m away report the 100 m cap squared
+    far = jnp.full((1, 2), 200.0)
+    np.testing.assert_allclose(np.asarray(min_sq_distance(far, jnp.array(ref)))[0], 1e4)
+
+
+def test_rollout_straight_line():
+    m = get_model("unicycle")
+    controls = jnp.tile(jnp.array([1.0, 0.0]), (10, 4, 1))  # (T-1, K, U)
+    states = rollout(m.step, jnp.zeros((4, 3)), controls, 0.1)
+    assert states.shape == (11, 4, 3)
+    np.testing.assert_allclose(np.asarray(states[-1, :, 0]), 1.0, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(states[-1, :, 1]), 0.0, atol=1e-12)
+
+
+def test_softmax_weights_normalized_and_baseline_invariant():
+    costs = jnp.array([3.0, 1.0, 2.0, 50.0])
+    w, stats = softmax_weights(costs, 1.0)
+    np.testing.assert_allclose(float(jnp.sum(w)), 1.0, rtol=1e-12)
+    w2, _ = softmax_weights(costs + 1000.0, 1.0)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w2), rtol=1e-12)
+    assert float(stats["min_cost"]) == 1.0
+    assert 1.0 <= float(stats["ess"]) <= 4.0
+
+
+def test_softmax_weights_survive_huge_costs():
+    """Documented fix: the reference underflows to 0/0 here."""
+    costs = jnp.array([1e6, 1e6 + 1.0, 1e6 + 2.0])
+    w, _ = softmax_weights(costs, 1.0)
+    assert np.isfinite(np.asarray(w)).all()
+    np.testing.assert_allclose(float(jnp.sum(w)), 1.0, rtol=1e-12)
+
+
+def test_weighted_update_matches_einsum():
+    rng = np.random.RandomState(0)
+    samples = rng.randn(7, 64, 3)
+    costs = rng.rand(64)
+    w, _ = softmax_weights(jnp.array(costs), 0.7)
+    u = weighted_update(w, jnp.array(samples))
+    ref = np.einsum("k,tku->tu", np.asarray(w), samples)
+    np.testing.assert_allclose(np.asarray(u), ref, rtol=1e-10)
