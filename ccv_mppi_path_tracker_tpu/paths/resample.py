@@ -82,11 +82,12 @@ def resample_reference(path: PathBuffer, pos, v_ref, dt, horizon: int) -> RefWin
     """
     cur = nearest_index(path, pos)
     step = v_ref * dt / path.resolution
-    offs = jnp.floor(jnp.arange(horizon, dtype=path.xy.dtype) * step).astype(
+    path_xy = jnp.asarray(path.xy)  # path may be a closed-over NumPy constant
+    offs = jnp.floor(jnp.arange(horizon, dtype=path_xy.dtype) * step).astype(
         jnp.int32
     )
     idx = jnp.minimum(cur + offs, path.num_valid - 1)
-    xy = path.xy[idx]
+    xy = path_xy[idx]
     seg = xy[1:] - xy[:-1]
     yaw = jnp.arctan2(seg[:, 1], seg[:, 0])
     yaw = jnp.concatenate([yaw, yaw[-1:]])
