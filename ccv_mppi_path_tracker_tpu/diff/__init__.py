@@ -1,0 +1,17 @@
+from ccv_mppi_path_tracker_tpu.diff.gradients import (
+    make_trajectory_cost,
+    gradient_refine,
+)
+from ccv_mppi_path_tracker_tpu.diff.system_id import (
+    ControlGains,
+    fit_control_gains,
+    fit_full_body_params,
+)
+
+__all__ = [
+    "make_trajectory_cost",
+    "gradient_refine",
+    "ControlGains",
+    "fit_control_gains",
+    "fit_full_body_params",
+]

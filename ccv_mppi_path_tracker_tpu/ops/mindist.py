@@ -29,7 +29,10 @@ def min_sq_distance(xy: jax.Array, ref_xy: jax.Array) -> jax.Array:
     Returns (...,) = min(DIST_CAP^2, min_j |xy - ref_j|^2).
     """
     cap = jnp.asarray(DIST_CAP * DIST_CAP, xy.dtype)
-    init = jnp.full(xy.shape[:-1], cap, xy.dtype)
+    # Derive the carry from xy (0*xy + cap) instead of jnp.full: under
+    # shard_map the carry must inherit xy's device-varying type or the scan
+    # carry types mismatch.
+    init = xy[..., 0] * 0.0 + cap
 
     def body(carry, ref_pt):
         dx = xy[..., 0] - ref_pt[0]

@@ -76,6 +76,11 @@ def mppi_step(
     )
 
     state0 = jnp.broadcast_to(state, (k_local,) + state.shape)
+    if axis_name is not None:
+        # Under shard_map the per-shard rollout carry is device-varying
+        # (each shard rolls its own K/N samples); mark the replicated start
+        # state accordingly so the scan carry types line up.
+        state0 = jax.lax.pcast(state0, axis_name, to="varying")
     states = rollout(model.step, state0, u_samples, dt)  # (T, K, S)
 
     aux = {}
