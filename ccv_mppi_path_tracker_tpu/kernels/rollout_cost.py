@@ -1,0 +1,259 @@
+"""Pallas TPU kernel: fused sample + rollout + cost.
+
+The XLA pipeline materializes the (T, K, S) rollout and the (T-1, K, U) noise
+in HBM and re-reads them for the cost — at K=100k, T=30 that is ~120 MB of
+HBM traffic per control step. This kernel streams K in 1024-sample tiles held
+entirely in VMEM: controls are clamped in registers, the Euler rollout and the
+O(T*T_ref) min-distance cost run per tile, and only the (K,) cost vector is
+written back. Rollout states never touch HBM.
+
+Layouts: samples ride the TPU lane dimension. A tile is (8, 128) = 1024
+samples; the noise input (when supplied — parity mode) is (T-1, U, K/128, 128)
+so each (t, u) slice loads as native (8, 128) vregs. In RNG mode the kernel
+draws its own normals with the per-core PRNG (Box-Muller over
+``pltpu.prng_random_bits``), eliminating the noise tensor from HBM entirely;
+the stream is seeded per tile so results are deterministic for a given seed
+but are a *different* (equally valid) stream than ``jax.random.normal`` —
+closed-loop behavior is statistically identical, and parity tests use the
+noise-input mode.
+
+Cost semantics are identical to ops/costs.py (and therefore to the C++
+reference semantics documented there), including the 100 m distance cap and
+the full-body ZMP chain (src/full_body_mppi.cpp:404-424, :445-486).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ccv_mppi_path_tracker_tpu.ops.mindist import DIST_CAP
+
+K_TILE = 1024
+_ROWS, _LANES = 8, 128
+
+# scalar-param vector layout (SMEM)
+# [dt, v_ref, path_w, v_w, zmp_w, roll_v_w, back_w, yaw_w, yaw_ref0,
+#  mass, base2com, Ixx, Iyy, Izz, gravity_z]
+_NSCAL = 15
+
+
+def _normals(shape):
+    """Standard normals via Box-Muller over the per-core PRNG."""
+    def unif():
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        # 23 high bits -> [0, 1). Logical shift as uint32 (arithmetic shift
+        # on the raw int32 would sign-extend), then bitcast back to int32 —
+        # the value is < 2^23 so it reads positive, and Mosaic supports the
+        # int32->f32 cast where uint32->f32 is unimplemented.
+        hi = pltpu.bitcast(bits >> 9, jnp.int32)
+        return hi.astype(jnp.float32) * (1.0 / (1 << 23))
+
+    u1 = unif()
+    u2 = unif()
+    r = jnp.sqrt(-2.0 * jnp.log1p(-u1))  # log1p(-u) avoids log(0)
+    return r * jnp.cos(2.0 * math.pi * u2)
+
+
+def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
+                 with_noise_input: bool, steer_off: bool):
+    tm1 = horizon - 1
+    cap2 = DIST_CAP * DIST_CAP
+
+    def kernel(*refs):
+        if with_noise_input:
+            (uprev, sigma, umin, umax, ref_xy, state0, scal, seed, noise,
+             cost_out, u_out) = refs
+        else:
+            (uprev, sigma, umin, umax, ref_xy, state0, scal, seed,
+             cost_out, u_out) = refs
+            pltpu.prng_seed(seed[0] + pl.program_id(0))
+
+        dt = scal[0]
+        v_ref = scal[1]
+
+        # --- sample controls for the whole tile ---------------------------
+        # Written straight to the u_out VMEM block and read back per rollout
+        # step — keeping all (T-1)*U tiles live as SSA values makes Mosaic's
+        # register allocation explode at T=30+.
+        for t in range(tm1):
+            for j in range(u_dim):
+                if with_noise_input:
+                    eps = noise[t, j]
+                else:
+                    eps = _normals((_ROWS, _LANES))
+                val = uprev[t, j] + sigma[j] * eps
+                val = jnp.clip(val, umin[j], umax[j])
+                if steer_off and j == 2:
+                    val = jnp.zeros_like(val)
+                u_out[t, j] = val
+
+        # --- rollout + cost ----------------------------------------------
+        x = jnp.full((_ROWS, _LANES), state0[0])
+        y = jnp.full((_ROWS, _LANES), state0[1])
+        yaw = jnp.full((_ROWS, _LANES), state0[2])
+        cost = jnp.zeros((_ROWS, _LANES), jnp.float32)
+
+        def path_d2(xv, yv):
+            # fori_loop keeps the kernel program small at large T*T_ref
+            # (unrolled this is the dominant op count).
+            def body(j, d2):
+                dx = xv - ref_xy[j, 0]
+                dy = yv - ref_xy[j, 1]
+                return jnp.minimum(d2, dx * dx + dy * dy)
+
+            init = jnp.full((_ROWS, _LANES), cap2)
+            return jax.lax.fori_loop(0, num_ref, body, init)
+
+        if model in ("unicycle", "steering_unicycle"):
+            # path term over all T states, velocity term over T-1 controls
+            # (ops/costs.py tracking_cost)
+            for t in range(horizon):
+                cost += scal[2] * path_d2(x, y)
+                if t < tm1:
+                    v, w = u_out[t, 0], u_out[t, 1]
+                    dv = v - v_ref
+                    cost += scal[3] * dv * dv
+                    heading = yaw if model == "unicycle" else yaw + u_out[t, 2]
+                    x = x + v * jnp.cos(heading) * dt
+                    y = y + v * jnp.sin(heading) * dt
+                    yaw = yaw + w * dt
+        else:  # full_body (ops/costs.py full_body_cost)
+            roll = jnp.full((_ROWS, _LANES), state0[3])
+            pitch = jnp.full((_ROWS, _LANES), state0[4])
+            mass, c = scal[9], scal[10]
+            ixx = scal[11]
+            gz = scal[14]
+            dyaw0 = yaw - scal[8]
+            cost += scal[7] * dyaw0 * dyaw0
+            for t in range(horizon - 2):
+                cost += scal[2] * path_d2(x, y)
+                v, w, direc = u_out[t, 0], u_out[t, 1], u_out[t, 2]
+                roll_v, pitch_v = u_out[t, 3], u_out[t, 4]
+                dv = v - v_ref
+                cost += scal[3] * dv * dv
+                droll_v = u_out[t + 1, 3] - roll_v
+                cost += scal[5] * droll_v * droll_v
+                cost += scal[6] * jnp.where(v < 0.0, v * v, 0.0)
+                # ZMP chain (models/full_body.py zmp_chain)
+                da = (u_out[t + 1, 0] - v) / dt
+                ac = v * w
+                cd, sd = jnp.cos(direc), jnp.sin(direc)
+                ay = da * sd + ac * cd
+                hgx = ixx * droll_v / dt
+                # zmp_y needs only M_O_x = com_y*b_z - com_z*b_y - hg_x
+                com_y = -c * jnp.sin(roll)
+                com_z = c * jnp.cos(pitch) * jnp.cos(roll)
+                bz = mass * gz
+                by = -mass * ay
+                mo_x = com_y * bz - com_z * by - hgx
+                zmp_y = mo_x / bz
+                cost += scal[4] * zmp_y * zmp_y
+                # Euler step (runs for every t in [0, T-3]; states at T-2 and
+                # T-1 are never read by the cost, so stepping stops here)
+                heading = yaw + direc
+                x = x + v * jnp.cos(heading) * dt
+                y = y + v * jnp.sin(heading) * dt
+                yaw = yaw + w * dt
+                roll = roll + roll_v * dt
+                pitch = pitch + pitch_v * dt
+
+        cost_out[...] = cost
+
+    return kernel
+
+
+def fused_sample_rollout_cost(
+    u_prev,
+    sigma,
+    u_min,
+    u_max,
+    ref_xy,
+    state0,
+    scal,
+    seed,
+    num_samples: int,
+    model: str,
+    steer_off: bool = False,
+    noise: Optional[jax.Array] = None,
+    interpret: bool = False,
+):
+    """Run the fused kernel.
+
+    u_prev: (T-1, U) f32; ref_xy: (T_ref, 2); state0: (S,); scal: (_NSCAL,);
+    seed: (1,) int32; noise (optional, parity mode): (T-1, U, K/128, 128).
+    Returns (costs (K,), u_samples (T-1, U, K/128, 128)).
+    """
+    tm1, u_dim = u_prev.shape
+    horizon = tm1 + 1
+    num_ref = ref_xy.shape[0]
+    assert num_samples % K_TILE == 0, f"K={num_samples} must be a multiple of {K_TILE}"
+    grid = num_samples // K_TILE
+    rows_total = num_samples // _LANES
+
+    kernel = _make_kernel(
+        model, horizon, num_ref, u_dim, noise is not None, steer_off
+    )
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [smem(), smem(), smem(), smem(), smem(), smem(), smem(), smem()]
+    inputs = [u_prev, sigma, u_min, u_max, ref_xy, state0, scal, seed]
+    if noise is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (tm1, u_dim, _ROWS, _LANES),
+                lambda i: (0, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(noise)
+
+    out_shape = (
+        jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((tm1, u_dim, rows_total, _LANES), jnp.float32),
+    )
+    out_specs = (
+        pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (tm1, u_dim, _ROWS, _LANES),
+            lambda i: (0, 0, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+
+    costs, u_tiles = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*inputs)
+    return costs.reshape(num_samples), u_tiles
+
+
+def pack_scalars(dt, cp, yaw_ref0, model_params=None, dtype=jnp.float32):
+    """Build the (_NSCAL,) scalar-parameter vector from the cost/model pytrees."""
+    zeros = jnp.zeros((), dtype)
+    if model_params is not None:
+        mp = [
+            model_params.mass,
+            model_params.base2com,
+            model_params.inertia[0],
+            model_params.inertia[1],
+            model_params.inertia[2],
+            model_params.gravity_z,
+        ]
+    else:
+        mp = [zeros] * 6
+    vals = [
+        dt, cp.v_ref, cp.path_weight, cp.v_weight, cp.zmp_weight,
+        cp.roll_v_weight, cp.back_weight, cp.yaw_weight, yaw_ref0, *mp,
+    ]
+    return jnp.stack([jnp.asarray(v, dtype) for v in vals])

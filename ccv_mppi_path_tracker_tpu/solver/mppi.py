@@ -51,6 +51,8 @@ def mppi_step(
     noise=None,
     axis_name: Optional[str] = None,
     num_samples: Optional[int] = None,
+    use_kernel: bool = False,
+    kernel_interpret: Optional[bool] = None,
 ):
     """Run one MPPI control cycle. Returns (next ControllerState, StepResult).
 
@@ -59,6 +61,11 @@ def mppi_step(
     state: (S,) current measured state.
     noise: optional injected standard normals (T-1, K, U) for parity tests.
     axis_name: mesh axis for sample-sharded execution.
+    use_kernel: run sample+rollout+cost as the fused Pallas kernel
+        (kernels/rollout_cost.py) instead of the XLA pipeline. float32 only;
+        K must be a multiple of 1024. With ``noise=None`` the kernel draws its
+        own (different but deterministic) stream. kernel_interpret=None
+        auto-selects interpreter mode off-TPU.
     """
     model = get_model(cfg.model)
     if model_params is None:
@@ -70,6 +77,24 @@ def mppi_step(
         use_key = jax.random.fold_in(use_key, jax.lax.axis_index(axis_name))
 
     ref = resample_reference(path, state[:2], cp.v_ref, dt, cfg.horizon)
+
+    if use_kernel:
+        costs, u_samples = _kernel_sample_rollout_cost(
+            cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise,
+            k_local, kernel_interpret,
+        )
+        weights, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
+        # u_samples is (T-1, U, K) tile layout; contract K on the MXU.
+        u_opt = jnp.einsum(
+            "k,tuk->tu", weights, u_samples, preferred_element_type=u_samples.dtype
+        )
+        if axis_name is not None:
+            u_opt = jax.lax.psum(u_opt, axis_name)
+        opt_states = rollout(model.step, state, u_opt, dt)
+        next_ctrl = ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
+        return next_ctrl, StepResult(
+            u_opt=u_opt, u0=u_opt[0], ref=ref, opt_states=opt_states, stats=stats
+        )
 
     u_samples = sample_controls(
         use_key, ctrl.u_prev, sp, k_local, steer_off=cfg.steer_off, noise=noise
@@ -100,6 +125,48 @@ def mppi_step(
     return next_ctrl, result
 
 
+def _kernel_sample_rollout_cost(
+    cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
+    kernel_interpret,
+):
+    """Bridge the fused Pallas kernel into the step (costs + (T-1,U,K) u)."""
+    from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
+        K_TILE,
+        fused_sample_rollout_cost,
+        pack_scalars,
+    )
+
+    if kernel_interpret is None:
+        kernel_interpret = jax.default_backend() != "tpu"
+    tm1 = cfg.horizon - 1
+    u_dim = ctrl.u_prev.shape[1]
+    mp = model_params if cfg.model == "full_body" else None
+    scal = pack_scalars(dt, cp, ref.yaw[0], mp)
+    seed = jax.random.randint(use_key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
+    if noise is not None:
+        # (T-1, K, U) -> tile layout (T-1, U, K/128, 128)
+        noise = jnp.transpose(noise, (0, 2, 1)).reshape(
+            tm1, u_dim, k_local // 128, 128
+        )
+    costs, u_tiles = fused_sample_rollout_cost(
+        ctrl.u_prev,
+        sp.control_noise,
+        sp.u_min,
+        sp.u_max,
+        ref.xy,
+        state,
+        scal,
+        seed,
+        num_samples=k_local,
+        model=cfg.model,
+        steer_off=cfg.steer_off,
+        noise=noise,
+        interpret=kernel_interpret,
+    )
+    u_samples = u_tiles.reshape(tm1, u_dim, k_local)
+    return costs, u_samples
+
+
 class MPPISolver:
     """Convenience wrapper owning the jitted step for one configuration.
 
@@ -108,10 +175,10 @@ class MPPISolver:
     cycle with the measured state.
     """
 
-    def __init__(self, cfg: SolverConfig, donate: bool = True):
+    def __init__(self, cfg: SolverConfig, donate: bool = True, use_kernel: bool = False):
         self.cfg = cfg
         self.model = get_model(cfg.model)
-        step = functools.partial(mppi_step, cfg)
+        step = functools.partial(mppi_step, cfg, use_kernel=use_kernel)
         self._step = jax.jit(step, donate_argnums=(0,) if donate else ())
 
     def init(self, seed: int = 0, dtype=jnp.float32) -> ControllerState:

@@ -1,0 +1,104 @@
+"""Fused Pallas kernel vs the XLA pipeline (interpreter mode on CPU).
+
+With injected noise the kernel path must match the XLA path to float32
+round-off on costs and the optimal sequence, for all three model families.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ccv_mppi_path_tracker_tpu.core import ControllerState
+from ccv_mppi_path_tracker_tpu.core.presets import (
+    diff_drive_launch,
+    full_body_launch,
+    steering_launch,
+)
+from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+T = 12
+K = 2048  # multiple of K_TILE
+
+
+def _setup(launch):
+    cfg, sp, cp, course = launch(num_samples=K, horizon=T, dtype=np.float32)
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+    u_dim = {"unicycle": 2, "steering_unicycle": 3, "full_body": 5}[cfg.model]
+    ctrl = ControllerState(
+        u_prev=jnp.asarray(
+            np.random.RandomState(1).randn(T - 1, u_dim) * 0.1, jnp.float32
+        ),
+        key=jax.random.PRNGKey(0),
+        step=jnp.zeros((), jnp.int32),
+    )
+    state = jnp.zeros(cfg.num_states, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(
+        np.random.RandomState(2).randn(T - 1, K, u_dim), jnp.float32
+    )
+    return cfg, sp, cp, path, ctrl, state, noise
+
+
+@pytest.mark.parametrize(
+    "launch", [diff_drive_launch, steering_launch, full_body_launch]
+)
+def test_kernel_matches_xla_with_injected_noise(launch):
+    cfg, sp, cp, path, ctrl, state, noise = _setup(launch)
+    dt = jnp.float32(0.1)
+    _, res_xla = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise)
+    _, res_krn = mppi_step(
+        cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+        use_kernel=True, kernel_interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_krn.u_opt), np.asarray(res_xla.u_opt), rtol=2e-5, atol=2e-6
+    )
+    np.testing.assert_allclose(
+        float(res_krn.stats["min_cost"]),
+        float(res_xla.stats["min_cost"]),
+        rtol=2e-5,
+    )
+    np.testing.assert_allclose(
+        float(res_krn.stats["ess"]), float(res_xla.stats["ess"]), rtol=1e-3
+    )
+
+
+def test_kernel_steer_off_zeroes_direction():
+    cfg, sp, cp, course = full_body_launch(num_samples=K, horizon=T)
+    cfg = cfg.__class__(
+        model=cfg.model, num_samples=K, horizon=T, steer_off=True
+    )
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), T, 5)
+    state = jnp.zeros(5, jnp.float32)
+    noise = jnp.asarray(np.random.RandomState(3).randn(T - 1, K, 5), jnp.float32)
+    _, res = mppi_step(
+        cfg, ctrl, state, path, jnp.float32(0.1), sp, cp, noise=noise,
+        use_kernel=True, kernel_interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(res.u_opt[:, 2]), 0.0)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="pltpu.prng_seed has no CPU lowering (TPU-only mode; run on device)",
+)
+def test_kernel_rng_mode_statistics():
+    """In-kernel Box-Muller stream: mean/std of the resulting update are sane
+    and deterministic for a fixed key."""
+    cfg, sp, cp, path, ctrl, state, _ = _setup(diff_drive_launch)
+    dt = jnp.float32(0.1)
+    _, res_a = mppi_step(
+        cfg, ctrl, state, path, dt, sp, cp, use_kernel=True, kernel_interpret=True
+    )
+    _, res_b = mppi_step(
+        cfg, ctrl, state, path, dt, sp, cp, use_kernel=True, kernel_interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_a.u_opt), np.asarray(res_b.u_opt)
+    )
+    assert np.isfinite(np.asarray(res_a.u_opt)).all()
+    # update stays inside the control box
+    assert float(jnp.max(res_a.u_opt[:, 0])) <= float(sp.u_max[0]) + 1e-6
+    assert float(jnp.min(res_a.u_opt[:, 0])) >= float(sp.u_min[0]) - 1e-6

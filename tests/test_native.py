@@ -1,0 +1,102 @@
+"""Native C++ runtime: build, primitives, and cross-language oracle parity."""
+
+import time
+
+import numpy as np
+import pytest
+
+from ccv_mppi_path_tracker_tpu.runtime.native import (
+    NativeCsvRecorder,
+    RateExecutor,
+    SpscRing,
+    load_library,
+    native_oracle_bench_ns,
+    native_oracle_step,
+)
+from ccv_mppi_path_tracker_tpu.oracle import oracle_step
+from ccv_mppi_path_tracker_tpu.paths import sum_of_cosines_course
+from ccv_mppi_path_tracker_tpu.models.full_body import default_params
+
+
+def test_library_builds_and_loads():
+    lib = load_library()
+    assert lib is not None
+
+
+def test_rate_executor_holds_rate():
+    r = RateExecutor(200.0)  # 5 ms period
+    dts = [r.sleep() for _ in range(50)]
+    s = r.stats()
+    assert s["cycles"] == 50
+    # mean dt within 20% of the period (CI jitter tolerance)
+    assert abs(s["mean_dt"] - 0.005) < 0.001, s
+
+
+def test_spsc_ring_latest_wins():
+    q = SpscRing(capacity=4, record_len=3)
+    assert q.latest() == (None, None)
+    for i in range(10):
+        q.push([i, i * 2.0, i * 3.0])
+    seq, rec = q.latest()
+    assert seq == 9
+    np.testing.assert_allclose(rec, [9, 18, 27])
+    # pop drains oldest retained records (capacity 4)
+    first = q.pop()
+    assert first is not None and first[0] == 6.0
+    assert len(q) == 3
+
+
+def test_native_csv_recorder(tmp_path):
+    p = str(tmp_path / "out.csv")
+    rec = NativeCsvRecorder(p, ["a", "b", "c"])
+    for i in range(100):
+        rec.row([i, i * 0.5, np.nan])
+    rec.close()
+    lines = open(p).read().strip().split("\n")
+    assert lines[0] == "a,b,c"
+    assert len(lines) == 101
+    assert lines[1] == "0,0,"  # NaN -> empty cell
+    assert lines[100].startswith("99,49.5,")
+
+
+@pytest.mark.parametrize("model,u_dim", [
+    ("unicycle", 2), ("steering_unicycle", 3), ("full_body", 5),
+])
+def test_cpp_oracle_matches_python_oracle(model, u_dim):
+    """The C++ oracle and the NumPy oracle implement identical semantics."""
+    rng = np.random.RandomState(0)
+    T, K = 10, 32
+    course = sum_of_cosines_course(course_length=10.0)
+    u_prev = rng.randn(T - 1, u_dim) * 0.1
+    state = np.zeros(5 if model == "full_body" else 3)
+    state[2] = 0.1
+    noise = rng.randn(T - 1, K, u_dim)
+    u_min = np.full(u_dim, -2.0)
+    u_max = np.full(u_dim, 2.0)
+    p = default_params(np.float64)
+
+    py = oracle_step(
+        model, u_prev, state, course, 0.1, 0.1, noise,
+        control_noise=0.5, lam=1.0, u_min=u_min, u_max=u_max, v_ref=0.8,
+        mass=float(p.mass), base2com=float(p.base2com),
+        inertia=np.asarray(p.inertia), gravity_z=float(p.gravity_z),
+    )
+    cc = native_oracle_step(
+        model, u_prev, state, course, 0.1, 0.1, noise,
+        control_noise=0.5, lam=1.0, u_min=u_min, u_max=u_max, v_ref=0.8,
+        model_params=p,
+    )
+    np.testing.assert_allclose(cc["costs"], py["costs"], rtol=1e-12)
+    np.testing.assert_allclose(cc["u_opt"], py["u_opt"], rtol=1e-12)
+
+
+def test_cpp_oracle_bench_runs():
+    rng = np.random.RandomState(1)
+    T, K = 15, 256
+    course = sum_of_cosines_course(course_length=10.0)
+    noise = rng.randn(T - 1, K, 2)
+    ns = native_oracle_bench_ns(
+        "unicycle", np.zeros((T - 1, 2)), np.zeros(3), course, 0.1, 0.1,
+        noise, 0.5, 1.0, [-1.2, -2.0], [1.2, 2.0], 0.8, iters=3,
+    )
+    assert ns > 0
