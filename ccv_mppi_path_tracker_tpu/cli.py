@@ -1,0 +1,187 @@
+"""Command-line interface — the framework's ``roslaunch`` replacement.
+
+    python -m ccv_mppi_path_tracker_tpu run --preset full_body --steps 200
+    python -m ccv_mppi_path_tracker_tpu run --preset diff_drive --record log/ --plot out.png
+    python -m ccv_mppi_path_tracker_tpu compare --preset diff_drive
+    python -m ccv_mppi_path_tracker_tpu course --kind dkan --out course.csv
+    python -m ccv_mppi_path_tracker_tpu sysid
+
+Each experiment the reference runs via launch XML (controller + path creator
++ recorder, e.g. launch/diff_drive_mppi.launch) is one ``run`` invocation:
+preset selects the tuned operating point, ``--record`` writes the
+reference-compatible CSV, ``--plot`` renders the graph2.py-style figure, and
+the calc_e_rmse.py metrics print at the end.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _add_run_args(p):
+    p.add_argument("--preset", default="diff_drive",
+                   choices=["diff_drive", "steering_diff_drive", "full_body"])
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--num-samples", type=int, default=None)
+    p.add_argument("--horizon", type=int, default=15)
+    p.add_argument("--dt", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--record", default=None, help="log dir for CSV output")
+    p.add_argument("--plot", default=None, help="save tracking figure to file")
+    p.add_argument("--kernel", action="store_true",
+                   help="use the fused Pallas kernel path")
+
+
+def cmd_run(args):
+    import jax.numpy as jnp
+
+    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
+    from ccv_mppi_path_tracker_tpu.runtime import run_tracking_experiment
+
+    kwargs = {"horizon": args.horizon}
+    if args.num_samples:
+        kwargs["num_samples"] = args.num_samples
+    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    out = run_tracking_experiment(
+        cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed
+    )
+    m = out["metrics"]
+    print(f"Time: {round(m['time'], 1)}")
+    print(f"Max Error: {round(m['max_error'], 3)}")
+    print(f"RMSE Error: {round(m['rmse'], 3)}")
+    if args.record:
+        _record(args, out, cfg)
+    if args.plot:
+        from ccv_mppi_path_tracker_tpu.metrics.plots import plot_tracking
+
+        plot_tracking(out, out=args.plot)
+        print(f"figure: {args.plot}")
+    return 0
+
+
+def _record(args, out, cfg):
+    from ccv_mppi_path_tracker_tpu.metrics import Recorder
+    from ccv_mppi_path_tracker_tpu.solver.command import command_from_solution
+
+    rec = Recorder(args.record, method=args.preset)
+    logs = out["logs"]
+    for i, (state, u0) in enumerate(zip(logs["state"], logs["u0"])):
+        cmd = command_from_solution(cfg.model, u0, args.dt)
+        rec.write_cycle(i * args.dt, state, cmd)
+    rec.close(out["course"])
+    print(f"recorded: {rec.path}")
+
+
+def cmd_compare(args):
+    """MPPI vs the pure-pursuit baseline on the same course."""
+    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
+    from ccv_mppi_path_tracker_tpu.runtime import run_tracking_experiment
+    from ccv_mppi_path_tracker_tpu.runtime.pure_pursuit import (
+        PurePursuitConfig,
+        run_pure_pursuit_experiment,
+    )
+
+    kwargs = {"horizon": args.horizon}
+    if args.num_samples:
+        kwargs["num_samples"] = args.num_samples
+    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    mppi = run_tracking_experiment(
+        cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed
+    )
+    pp = run_pure_pursuit_experiment(
+        course, num_steps=args.steps, dt=args.dt,
+        cfg=PurePursuitConfig(v_ref=float(np.asarray(cp.v_ref))),
+    )
+    for name, r in (("mppi", mppi), ("pure_pursuit", pp)):
+        m = r["metrics"]
+        print(f"{name}: RMSE={m['rmse']:.3f} max={m['max_error']:.3f}")
+    return 0
+
+
+def cmd_course(args):
+    from ccv_mppi_path_tracker_tpu.paths import (
+        circle_course,
+        dkan_course,
+        filtered_square_course,
+        sum_of_cosines_course,
+    )
+
+    kinds = {
+        "sin": lambda: sum_of_cosines_course(
+            amplitudes=(args.amplitude, 0, 0), frequencies=(args.frequency, 0, 0),
+            deltas=(0, 0, 0), resolution=args.resolution,
+            course_length=args.length,
+        ),
+        "circle": lambda: circle_course(radius=args.radius,
+                                        resolution=args.resolution),
+        "dkan": lambda: dkan_course(resolution=args.resolution),
+        "square": lambda: filtered_square_course(length=args.length,
+                                                 amplitude=args.amplitude),
+    }
+    course = kinds[args.kind]()
+    np.savetxt(args.out, course, delimiter=",", header="x,y", comments="")
+    print(f"{args.kind} course: {len(course)} points -> {args.out}")
+    return 0
+
+
+def cmd_sysid(args):
+    """System-ID demo: recover actuator gains from a droopy plant."""
+    import jax.numpy as jnp
+
+    from ccv_mppi_path_tracker_tpu.diff import fit_control_gains
+    from ccv_mppi_path_tracker_tpu.models import get_model
+
+    rng = np.random.RandomState(args.seed)
+    true_gains = np.array([0.85, 1.1])
+    m = get_model("unicycle")
+    states = jnp.asarray(rng.randn(2048, 3))
+    controls = jnp.asarray(rng.randn(2048, 2))
+    next_states = m.step(states, controls * true_gains, 0.1)
+    fitted, losses = fit_control_gains(
+        "unicycle", states, controls, next_states, 0.1, num_steps=400
+    )
+    print(json.dumps({
+        "true_gains": true_gains.tolist(),
+        "fitted_gains": np.asarray(fitted.gains).round(4).tolist(),
+        "final_loss": float(losses[-1]),
+    }))
+    return 0
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ccv_mppi_path_tracker_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="closed-loop tracking experiment")
+    _add_run_args(pr)
+    pr.set_defaults(fn=cmd_run)
+
+    pc = sub.add_parser("compare", help="MPPI vs pure-pursuit baseline")
+    _add_run_args(pc)
+    pc.set_defaults(fn=cmd_compare)
+
+    po = sub.add_parser("course", help="generate a course CSV")
+    po.add_argument("--kind", default="sin",
+                    choices=["sin", "circle", "dkan", "square"])
+    po.add_argument("--out", default="course.csv")
+    po.add_argument("--length", type=float, default=10.0)
+    po.add_argument("--amplitude", type=float, default=1.0)
+    po.add_argument("--frequency", type=float, default=0.25)
+    po.add_argument("--radius", type=float, default=10.0)
+    po.add_argument("--resolution", type=float, default=0.1)
+    po.set_defaults(fn=cmd_course)
+
+    ps = sub.add_parser("sysid", help="system-identification demo")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.set_defaults(fn=cmd_sysid)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

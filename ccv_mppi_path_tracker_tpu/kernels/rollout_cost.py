@@ -111,19 +111,28 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             init = jnp.full((_ROWS, _LANES), cap2)
             return jax.lax.fori_loop(0, num_ref, body, init)
 
+        # The time loop is a fori_loop with dynamic indexing into the u_out
+        # VMEM block — unrolling T=30..100 steps made Mosaic compiles
+        # pathologically slow.
         if model in ("unicycle", "steering_unicycle"):
             # path term over all T states, velocity term over T-1 controls
             # (ops/costs.py tracking_cost)
-            for t in range(horizon):
+            def step_body(t, carry):
+                x, y, yaw, cost = carry
                 cost += scal[2] * path_d2(x, y)
-                if t < tm1:
-                    v, w = u_out[t, 0], u_out[t, 1]
-                    dv = v - v_ref
-                    cost += scal[3] * dv * dv
-                    heading = yaw if model == "unicycle" else yaw + u_out[t, 2]
-                    x = x + v * jnp.cos(heading) * dt
-                    y = y + v * jnp.sin(heading) * dt
-                    yaw = yaw + w * dt
+                v, w = u_out[t, 0], u_out[t, 1]
+                dv = v - v_ref
+                cost += scal[3] * dv * dv
+                heading = yaw if model == "unicycle" else yaw + u_out[t, 2]
+                x = x + v * jnp.cos(heading) * dt
+                y = y + v * jnp.sin(heading) * dt
+                yaw = yaw + w * dt
+                return x, y, yaw, cost
+
+            x, y, yaw, cost = jax.lax.fori_loop(
+                0, tm1, step_body, (x, y, yaw, cost)
+            )
+            cost += scal[2] * path_d2(x, y)  # final state's path term
         else:  # full_body (ops/costs.py full_body_cost)
             roll = jnp.full((_ROWS, _LANES), state0[3])
             pitch = jnp.full((_ROWS, _LANES), state0[4])
@@ -132,7 +141,9 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             gz = scal[14]
             dyaw0 = yaw - scal[8]
             cost += scal[7] * dyaw0 * dyaw0
-            for t in range(horizon - 2):
+
+            def fb_body(t, carry):
+                x, y, yaw, roll, pitch, cost = carry
                 cost += scal[2] * path_d2(x, y)
                 v, w, direc = u_out[t, 0], u_out[t, 1], u_out[t, 2]
                 roll_v, pitch_v = u_out[t, 3], u_out[t, 4]
@@ -156,13 +167,19 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 zmp_y = mo_x / bz
                 cost += scal[4] * zmp_y * zmp_y
                 # Euler step (runs for every t in [0, T-3]; states at T-2 and
-                # T-1 are never read by the cost, so stepping stops here)
+                # T-1 are never read by the cost)
                 heading = yaw + direc
                 x = x + v * jnp.cos(heading) * dt
                 y = y + v * jnp.sin(heading) * dt
                 yaw = yaw + w * dt
                 roll = roll + roll_v * dt
                 pitch = pitch + pitch_v * dt
+                return x, y, yaw, roll, pitch, cost
+
+            out = jax.lax.fori_loop(
+                0, horizon - 2, fb_body, (x, y, yaw, roll, pitch, cost)
+            )
+            cost = out[5]
 
         cost_out[...] = cost
 

@@ -1,0 +1,166 @@
+"""Analysis figures — plotting parity with the reference's offline scripts.
+
+Headless (Agg) matplotlib equivalents of the paper-figure scripts:
+- :func:`plot_tracking` — trajectory vs desired path + velocity + steering
+  time series (src/graph2.py layout);
+- :func:`plot_zmp` — lateral ZMP inside the stability band + velocity + roll
+  (src/zmp_graph.py; the reference plots a +/-0.15 m band at :53);
+- :func:`plot_feasible_region` — the (V, omega) input region with/without
+  steering from wheel-speed and steering-angle limits
+  (src/v_w_performance.py:33-46);
+- :func:`plot_course_curvature` — course curvature analysis
+  (src/calc_curveture.py).
+
+All functions return the matplotlib Figure and optionally save to ``out``.
+matplotlib is imported lazily so the core framework has no hard dependency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+ZMP_BAND = 0.15  # plotted stability band, src/zmp_graph.py:53
+
+
+def _plt():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    return plt
+
+
+def plot_tracking(result: dict, out: str = None, label: str = "MPPI"):
+    """3-panel figure from a run_tracking_experiment result dict."""
+    plt = _plt()
+    logs, course = result["logs"], result["course"]
+    states = logs["state"]
+    n = len(states)
+    t = np.arange(n) * result["metrics"]["time"] / max(n - 1, 1)
+    fig, (ax1, ax2, ax3) = plt.subplots(3, 1, figsize=(9, 9))
+    ax1.plot(course[:, 0], course[:, 1], "b--", lw=2, label="Desired Path")
+    ax1.plot(states[:, 0], states[:, 1], "r-", lw=2, label=label)
+    ax1.set_xlabel("X [m]"), ax1.set_ylabel("Y [m]")
+    ax1.legend(loc="lower right"), ax1.grid(True)
+    ax2.plot(t, np.abs(logs["u0"][:, 0]), "r-", lw=2, label=label)
+    ax2.set_xlabel("Time [s]"), ax2.set_ylabel("Velocity [m/s]")
+    ax2.legend(loc="lower right"), ax2.grid(True)
+    if logs["u0"].shape[1] >= 3:
+        from ccv_mppi_path_tracker_tpu.solver.command import wheel_steer_angles
+        import jax.numpy as jnp
+
+        sl, sr = wheel_steer_angles(
+            jnp.asarray(logs["u0"][:, 0]), jnp.asarray(logs["u0"][:, 1]),
+            jnp.asarray(logs["u0"][:, 2]), 0.501,
+        )
+        ax3.plot(t, np.degrees(np.asarray(sl)), "b-", lw=2, label="Left Steering Angle")
+        ax3.plot(t, np.degrees(np.asarray(sr)), "r-", lw=2, label="Right Steering Angle")
+    else:
+        ax3.plot(t, logs["u0"][:, 1], "b-", lw=2, label="Angular Velocity")
+    ax3.set_xlabel("Time [s]"), ax3.set_ylabel("Angle [deg]")
+    ax3.legend(loc="lower right"), ax3.grid(True)
+    fig.tight_layout(pad=2.0)
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def plot_zmp(t, zmp_y, v=None, roll=None, true_zmp=None, out: str = None):
+    """ZMP-y within the +/-band, with optional velocity/roll panels
+    (src/zmp_graph.py structure)."""
+    plt = _plt()
+    panels = 1 + (v is not None) + (roll is not None)
+    fig, axes = plt.subplots(panels, 1, figsize=(9, 3 * panels), squeeze=False)
+    ax = axes[0][0]
+    ax.plot(t, np.asarray(zmp_y) * 100, "r-", lw=2, label="Estimated ZMP")
+    if true_zmp is not None:
+        ax.plot(t, np.asarray(true_zmp) * 100, "b-", lw=1.5, label="True ZMP")
+    for s in (+1, -1):
+        ax.axhline(s * ZMP_BAND * 100, color="k", ls="--", lw=1)
+    ax.set_ylabel("ZMP y [cm]"), ax.legend(), ax.grid(True)
+    i = 1
+    if v is not None:
+        axes[i][0].plot(t, v, lw=2), axes[i][0].set_ylabel("Velocity [m/s]")
+        axes[i][0].grid(True)
+        i += 1
+    if roll is not None:
+        axes[i][0].plot(t, np.degrees(np.asarray(roll)), lw=2)
+        axes[i][0].set_ylabel("Roll [deg]"), axes[i][0].grid(True)
+    axes[-1][0].set_xlabel("Time [s]")
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def feasible_region_points(
+    tread: float = 0.5,
+    wheel_v_max: float = 3.0,
+    steer_max: float = np.radians(30.0),
+    n: int = 40,
+):
+    """(V, omega) reachable sets with and without wheel steering.
+
+    Restates src/v_w_performance.py:33-46: without steering
+    omega = (vr - vl)/L; with distinct same-sign steering angles the wheels
+    trace radii Rl = sin|dr| L / sin|dl - dr|, Rr = sin|dl| L / sin|dr - dl|
+    and omega = (vr - vl)/|Rr - Rl|. Returns (no_steer (M,2), steer (M,2))
+    point clouds.
+    """
+    vr = np.linspace(-wheel_v_max, wheel_v_max, n)
+    vl = np.linspace(-wheel_v_max, wheel_v_max, n)
+    vr_m, vl_m = np.meshgrid(vr, vl)
+    v_fwd = (vr_m + vl_m) / 2.0
+
+    no_steer = np.stack(
+        [v_fwd.ravel(), ((vr_m - vl_m) / tread).ravel()], axis=-1
+    )
+
+    pts = []
+    deltas = np.linspace(-steer_max, steer_max, n)
+    for dr in deltas:
+        for dl in deltas:
+            if dr == dl:
+                continue
+            if (dr < 0 < dl) or (dr > 0 > dl):
+                continue  # ハ-shaped configurations are invalid (check_State)
+            rl = np.sin(abs(dr)) * tread / np.sin(abs(dl - dr))
+            rr = np.sin(abs(dl)) * tread / np.sin(abs(dr - dl))
+            omega = (vr_m - vl_m) / abs(rr - rl)
+            pts.append(np.stack([v_fwd.ravel(), omega.ravel()], axis=-1))
+    steer = np.concatenate(pts, axis=0) if pts else np.zeros((0, 2))
+    return no_steer, steer
+
+
+def plot_feasible_region(out: str = None, **kw):
+    plt = _plt()
+    no_steer, steer = feasible_region_points(**kw)
+    fig, ax = plt.subplots(figsize=(8, 6))
+    if len(steer):
+        ax.scatter(steer[:, 0], steer[:, 1], c="r", s=1, label="With Steering")
+    ax.scatter(no_steer[:, 0], no_steer[:, 1], c="b", s=1, label="Without Steering")
+    ax.set_xlabel("Forward Velocity V [m/s]", fontsize=15)
+    ax.set_ylabel("Angular Velocity ω [rad/s]", fontsize=15)
+    ax.grid(True), ax.legend(loc="upper right")
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def plot_course_curvature(course, out: str = None):
+    from ccv_mppi_path_tracker_tpu.metrics.tracking import curvature
+
+    plt = _plt()
+    k = curvature(course)
+    s = np.concatenate([[0], np.cumsum(np.hypot(*np.diff(course, axis=0).T))])
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(9, 6))
+    ax1.plot(course[:, 0], course[:, 1], lw=2)
+    ax1.set_xlabel("X [m]"), ax1.set_ylabel("Y [m]"), ax1.grid(True)
+    ax2.plot(s, k, lw=2)
+    ax2.set_xlabel("Arc length [m]"), ax2.set_ylabel("Curvature [1/m]")
+    ax2.grid(True)
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig

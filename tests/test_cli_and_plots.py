@@ -1,0 +1,81 @@
+"""CLI, plots, pure-pursuit baseline."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ccv_mppi_path_tracker_tpu.cli import main
+from ccv_mppi_path_tracker_tpu.metrics.plots import (
+    feasible_region_points,
+    plot_feasible_region,
+    plot_tracking,
+)
+from ccv_mppi_path_tracker_tpu.paths import sum_of_cosines_course
+from ccv_mppi_path_tracker_tpu.runtime.pure_pursuit import (
+    PurePursuitConfig,
+    run_pure_pursuit_experiment,
+)
+
+
+def test_cli_run_records_and_plots(tmp_path, capsys):
+    rec_dir = str(tmp_path / "log")
+    fig = str(tmp_path / "fig.png")
+    rc = main([
+        "run", "--preset", "diff_drive", "--steps", "40",
+        "--num-samples", "128", "--record", rec_dir, "--plot", fig,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "RMSE Error:" in out and "Max Error:" in out
+    assert os.path.exists(fig)
+    csvs = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(rec_dir) for f in fs if f.endswith(".csv")
+    ]
+    assert len(csvs) == 1
+    header = open(csvs[0]).readline().strip().split(",")
+    assert header[:3] == ["time", "x", "y"]
+
+
+def test_cli_course(tmp_path):
+    out = str(tmp_path / "c.csv")
+    rc = main(["course", "--kind", "dkan", "--out", out])
+    assert rc == 0
+    data = np.loadtxt(out, delimiter=",", skiprows=1)
+    assert data.shape[1] == 2 and len(data) > 300
+
+
+def test_cli_sysid(capsys):
+    rc = main(["sysid"])
+    assert rc == 0
+    import json
+
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    np.testing.assert_allclose(res["fitted_gains"], res["true_gains"], rtol=0.01)
+
+
+def test_pure_pursuit_tracks_gentle_course():
+    course = sum_of_cosines_course(
+        amplitudes=(1.0, 0, 0), frequencies=(0.127, 0, 0), deltas=(0, 0, 0),
+        resolution=0.1, course_length=20.0,
+    )
+    out = run_pure_pursuit_experiment(
+        course, num_steps=200, cfg=PurePursuitConfig(lookahead=0.8, v_ref=1.0)
+    )
+    assert out["metrics"]["rmse"] < 0.25, out["metrics"]
+    assert out["logs"]["state"][-1, 0] > 10.0
+
+
+def test_feasible_region_geometry():
+    no_steer, steer = feasible_region_points(n=15)
+    # without steering: |omega| <= 2*v_max/L at V=0
+    assert np.max(np.abs(no_steer[:, 1])) <= 2 * 3.0 / 0.5 + 1e-9
+    # steering expands the reachable |omega| range
+    assert np.max(np.abs(steer[:, 1])) > np.max(np.abs(no_steer[:, 1]))
+
+
+def test_plot_feasible_region_renders(tmp_path):
+    out = str(tmp_path / "region.png")
+    plot_feasible_region(out=out, n=10)
+    assert os.path.getsize(out) > 1000
