@@ -47,7 +47,8 @@ def cmd_run(args):
         kwargs["num_samples"] = args.num_samples
     cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
     out = run_tracking_experiment(
-        cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed
+        cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed,
+        use_kernel=args.kernel,
     )
     m = out["metrics"]
     print(f"Time: {round(m['time'], 1)}")

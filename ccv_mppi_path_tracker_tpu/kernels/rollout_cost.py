@@ -35,8 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ccv_mppi_path_tracker_tpu.ops.mindist import DIST_CAP
 
-K_TILE = 1024
-_ROWS, _LANES = 8, 128
+# Samples per kernel program: a (32, 128) tile = 4096 samples. Taller tiles
+# amortize the t-loop / ref-loop control overhead over more vector registers
+# (8 rows measured ~2x slower at large K).
+K_TILE = 4096
+_ROWS, _LANES = 32, 128
 
 # scalar-param vector layout (SMEM)
 # [dt, v_ref, path_w, v_w, zmp_w, roll_v_w, back_w, yaw_w, yaw_ref0,
@@ -109,7 +112,7 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 return jnp.minimum(d2, dx * dx + dy * dy)
 
             init = jnp.full((_ROWS, _LANES), cap2)
-            return jax.lax.fori_loop(0, num_ref, body, init)
+            return jax.lax.fori_loop(0, num_ref, body, init, unroll=num_ref)
 
         # The time loop is a fori_loop with dynamic indexing into the u_out
         # VMEM block — unrolling T=30..100 steps made Mosaic compiles

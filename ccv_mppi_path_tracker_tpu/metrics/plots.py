@@ -148,6 +148,30 @@ def plot_feasible_region(out: str = None, **kw):
     return fig
 
 
+def plot_solver_debug(res, course=None, out: str = None, max_candidates=64):
+    """One control cycle's internals — the rviz view (config/config.rviz):
+    candidate rollouts (green), the optimal path (red), the resampled
+    reference window (blue). ``res`` is a StepResult produced with
+    ``debug_candidates > 0``."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 6))
+    if course is not None:
+        ax.plot(course[:, 0], course[:, 1], color="0.7", lw=1, label="Course")
+    cands = np.asarray(res.stats["candidates"])[:max_candidates]
+    for i, c in enumerate(cands):
+        ax.plot(c[:, 0], c[:, 1], color="g", lw=0.5, alpha=0.3,
+                label="Candidate paths" if i == 0 else None)
+    ref = np.asarray(res.ref.xy)
+    ax.plot(ref[:, 0], ref[:, 1], "b.-", lw=2, label="Reference window")
+    opt = np.asarray(res.opt_states)
+    ax.plot(opt[:, 0], opt[:, 1], "r-", lw=2, label="Optimal path")
+    ax.set_xlabel("X [m]"), ax.set_ylabel("Y [m]")
+    ax.legend(), ax.grid(True), ax.axis("equal")
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
 def plot_course_curvature(course, out: str = None):
     from ccv_mppi_path_tracker_tpu.metrics.tracking import curvature
 

@@ -20,17 +20,34 @@ COLUMNS = [
     "time", "x", "y", "omega", "yaw", "x_tf", "y_tf", "v", "cmd_v",
     "steer_r", "steer_l", "roll", "true_zmp", "zmp_y", "path_x", "path_y",
 ]
+# Debug-recorder variants (src/record_for_debug.py:99,
+# src/full_body_mppi_record_for_debug.py:110).
+DEBUG_COLUMNS = [
+    "time", "x", "y", "yaw", "v", "cmd_v", "pitch", "accel", "path_x", "path_y",
+]
+FULL_BODY_DEBUG_COLUMNS = ["time", "zmp_y", "roll", "drive_accel"]
 
 
 class Recorder:
-    def __init__(self, log_dir: str, method: str = "mppi", stamp: Optional[str] = None):
+    def __init__(
+        self,
+        log_dir: str,
+        method: str = "mppi",
+        stamp: Optional[str] = None,
+        columns=None,
+    ):
         os.makedirs(os.path.join(log_dir, method), exist_ok=True)
         if stamp is None:
             stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
         self.path = os.path.join(log_dir, method, stamp + ".csv")
+        self.columns = list(columns) if columns is not None else COLUMNS
         self._f = open(self.path, "w", newline="")
         self._w = csv.writer(self._f)
-        self._w.writerow(COLUMNS)
+        self._w.writerow(self.columns)
+
+    def write_row(self, values):
+        """Generic row writer for custom column layouts."""
+        self._w.writerow(list(values))
 
     def write_cycle(self, t, state, cmd, true_v=None, true_zmp=0.0, zmp_y=0.0):
         """state: (S,) plant state; cmd: WheelSteerCommand."""

@@ -35,6 +35,7 @@ def build_simulate_scan(
     plant: Optional[Plant] = None,
     num_steps: int = 100,
     with_stats: bool = True,
+    use_kernel: bool = False,
 ):
     """Build a jitted closed-loop simulation.
 
@@ -50,7 +51,8 @@ def build_simulate_scan(
             ctrl, state = carry
             plant_key = jax.random.fold_in(ctrl.key, 1)
             ctrl, res = mppi_step(
-                cfg, ctrl, state, path, dt, sp, cp, model_params=model_params
+                cfg, ctrl, state, path, dt, sp, cp, model_params=model_params,
+                use_kernel=use_kernel,
             )
             state = plant.step(plant_key, state, res.u0, dt)
             log = {"state": state, "u0": res.u0}
@@ -129,6 +131,7 @@ def run_tracking_experiment(
     seed: int = 0,
     start_on_course: bool = True,
     dtype=np.float32,
+    use_kernel: bool = False,
 ):
     """Run a full tracking experiment via the fused scan; return logs + metrics.
 
@@ -149,7 +152,9 @@ def run_tracking_experiment(
     ctrl = ControllerState.initial(
         jax.random.PRNGKey(seed), cfg.horizon, model.num_controls, dtype=dtype
     )
-    sim = build_simulate_scan(cfg, plant=plant, num_steps=num_steps)
+    sim = build_simulate_scan(
+        cfg, plant=plant, num_steps=num_steps, use_kernel=use_kernel
+    )
     ctrl, logs = sim(
         ctrl, jnp.asarray(state0), path, jnp.asarray(dt, dtype), sp, cp, model_params
     )

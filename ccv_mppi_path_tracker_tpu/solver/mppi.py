@@ -53,6 +53,9 @@ def mppi_step(
     num_samples: Optional[int] = None,
     use_kernel: bool = False,
     kernel_interpret: Optional[bool] = None,
+    refine_steps: int = 0,
+    refine_step_size: float = 0.02,
+    debug_candidates: int = 0,
 ):
     """Run one MPPI control cycle. Returns (next ControllerState, StepResult).
 
@@ -66,6 +69,13 @@ def mppi_step(
         K must be a multiple of 1024. With ``noise=None`` the kernel draws its
         own (different but deterministic) stream. kernel_interpret=None
         auto-selects interpreter mode off-TPU.
+    refine_steps: gradient-smoothed MPPI — polish the sampled update with
+        this many projected-gradient steps through the rollout (diff/
+        gradients.py) before actuation. 0 = classic sampled MPPI.
+    debug_candidates: include the first N candidate rollout xy paths in
+        stats["candidates"] (N, T, 2) — the framework's equivalent of the
+        reference's candidate-path MarkerArray debug topic
+        (src/diff_drive_mppi.cpp:265-294). XLA path only.
     """
     model = get_model(cfg.model)
     if model_params is None:
@@ -90,6 +100,10 @@ def mppi_step(
         )
         if axis_name is not None:
             u_opt = jax.lax.psum(u_opt, axis_name)
+        u_opt = _maybe_refine(
+            cfg, u_opt, state, ref, dt, sp, cp, model_params,
+            refine_steps, refine_step_size,
+        )
         opt_states = rollout(model.step, state, u_opt, dt)
         next_ctrl = ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
         return next_ctrl, StepResult(
@@ -114,7 +128,15 @@ def mppi_step(
 
     costs = trajectory_costs(cfg.model, states, u_samples, aux, ref, cp)
     weights, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
+    if debug_candidates:
+        stats["candidates"] = jnp.transpose(
+            states[:, :debug_candidates, :2], (1, 0, 2)
+        )
     u_opt = weighted_update(weights, u_samples, axis_name=axis_name)
+    u_opt = _maybe_refine(
+        cfg, u_opt, state, ref, dt, sp, cp, model_params,
+        refine_steps, refine_step_size,
+    )
 
     opt_states = rollout(model.step, state, u_opt, dt)  # (T, S)
 
@@ -123,6 +145,18 @@ def mppi_step(
         u_opt=u_opt, u0=u_opt[0], ref=ref, opt_states=opt_states, stats=stats
     )
     return next_ctrl, result
+
+
+def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
+                  refine_steps, refine_step_size):
+    if not refine_steps:
+        return u_opt
+    from ccv_mppi_path_tracker_tpu.diff.gradients import gradient_refine
+
+    return gradient_refine(
+        cfg, u_opt, state, ref, dt, sp, cp, model_params=model_params,
+        step_size=refine_step_size, num_steps=refine_steps,
+    )
 
 
 def _kernel_sample_rollout_cost(

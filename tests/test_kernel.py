@@ -19,7 +19,7 @@ from ccv_mppi_path_tracker_tpu.paths import PathBuffer
 from ccv_mppi_path_tracker_tpu.solver import mppi_step
 
 T = 12
-K = 2048  # multiple of K_TILE
+K = 4096  # multiple of K_TILE
 
 
 def _setup(launch):
