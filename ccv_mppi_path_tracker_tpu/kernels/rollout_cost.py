@@ -203,6 +203,7 @@ def fused_sample_rollout_cost(
     steer_off: bool = False,
     noise: Optional[jax.Array] = None,
     interpret: bool = False,
+    vma_axis: Optional[str] = None,
 ):
     """Run the fused kernel.
 
@@ -234,9 +235,14 @@ def fused_sample_rollout_cost(
         )
         inputs.append(noise)
 
+    # Under shard_map the outputs are device-varying over the samples axis;
+    # the vma annotation is required when check_vma is on.
+    vma = frozenset({vma_axis}) if vma_axis is not None else frozenset()
     out_shape = (
-        jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((tm1, u_dim, rows_total, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32, vma=vma),
+        jax.ShapeDtypeStruct(
+            (tm1, u_dim, rows_total, _LANES), jnp.float32, vma=vma
+        ),
     )
     out_specs = (
         pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),

@@ -23,13 +23,19 @@ from ccv_mppi_path_tracker_tpu.runtime.plant import Plant
 from ccv_mppi_path_tracker_tpu.solver.mppi import mppi_step
 
 
-def build_sharded_step(cfg: SolverConfig, mesh: Mesh, axis: str = SAMPLES_AXIS):
+def build_sharded_step(
+    cfg: SolverConfig,
+    mesh: Mesh,
+    axis: str = SAMPLES_AXIS,
+    use_kernel: bool = False,
+):
     """Jitted sample-sharded control step over ``mesh``.
 
     Returns ``step(ctrl, state, path, dt, sp, cp, model_params=None,
     noise=None)``. ``noise``, when given for parity tests, must be the full
     (T-1, K, U) tensor; it is split over the sample axis. All other inputs and
-    all outputs are replicated.
+    all outputs are replicated. ``use_kernel`` runs the per-shard pipeline as
+    the fused Pallas kernel (K/N must then be a multiple of the kernel tile).
     """
     n = mesh.shape[axis]
     if cfg.num_samples % n != 0:
@@ -53,14 +59,20 @@ def build_sharded_step(cfg: SolverConfig, mesh: Mesh, axis: str = SAMPLES_AXIS):
             noise=noise,
             axis_name=axis,
             num_samples=k_local,
+            use_kernel=use_kernel,
         )
 
+    # check_vma stays on for the XLA pipeline; the Pallas-kernel variant
+    # trips a dynamic_slice vma limitation in interpret mode, so checking is
+    # relaxed there (its results are verified against the XLA path in tests).
+    check_vma = not use_kernel
     with_noise = jax.jit(
         jax.shard_map(
             local_step,
             mesh=mesh,
             in_specs=(rep, rep, rep, rep, rep, rep, rep, P(None, axis, None)),
             out_specs=rep,
+            check_vma=check_vma,
         )
     )
     with_rng = jax.jit(
@@ -71,6 +83,7 @@ def build_sharded_step(cfg: SolverConfig, mesh: Mesh, axis: str = SAMPLES_AXIS):
             mesh=mesh,
             in_specs=(rep,) * 7,
             out_specs=rep,
+            check_vma=check_vma,
         )
     )
 

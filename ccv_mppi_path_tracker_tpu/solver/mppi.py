@@ -91,7 +91,7 @@ def mppi_step(
     if use_kernel:
         costs, u_samples = _kernel_sample_rollout_cost(
             cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise,
-            k_local, kernel_interpret,
+            k_local, kernel_interpret, axis_name,
         )
         weights, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
         # u_samples is (T-1, U, K) tile layout; contract K on the MXU.
@@ -161,7 +161,7 @@ def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
 
 def _kernel_sample_rollout_cost(
     cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
-    kernel_interpret,
+    kernel_interpret, axis_name=None,
 ):
     """Bridge the fused Pallas kernel into the step (costs + (T-1,U,K) u)."""
     from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
@@ -196,6 +196,7 @@ def _kernel_sample_rollout_cost(
         steer_off=cfg.steer_off,
         noise=noise,
         interpret=kernel_interpret,
+        vma_axis=axis_name,
     )
     u_samples = u_tiles.reshape(tm1, u_dim, k_local)
     return costs, u_samples

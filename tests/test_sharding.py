@@ -97,3 +97,30 @@ def test_mesh_divisibility_error():
     mesh = samples_mesh(num_devices=8)
     with pytest.raises(ValueError, match="not divisible"):
         build_sharded_step(cfg, mesh)
+
+
+def test_sharded_kernel_path_matches_sharded_xla():
+    """Fused Pallas kernel inside shard_map (interpret mode on CPU): same
+    result as the sharded XLA pipeline under injected noise."""
+    cfg, sp, cp, course = diff_drive_launch(
+        num_samples=8192, horizon=T, dtype=np.float32
+    )
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+    ctrl = ControllerState(
+        u_prev=jnp.zeros((T - 1, 2), jnp.float32),
+        key=jax.random.PRNGKey(3),
+        step=jnp.zeros((), jnp.int32),
+    )
+    state = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(
+        np.random.RandomState(0).randn(T - 1, 8192, 2), jnp.float32
+    )
+    dt = jnp.float32(0.1)
+    mesh = samples_mesh(num_devices=2)  # K/N = 4096 = one kernel tile
+    step_xla = build_sharded_step(cfg, mesh)
+    step_krn = build_sharded_step(cfg, mesh, use_kernel=True)
+    _, res_x = step_xla(ctrl, state, path, dt, sp, cp, noise=noise)
+    _, res_k = step_krn(ctrl, state, path, dt, sp, cp, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(res_k.u_opt), np.asarray(res_x.u_opt), rtol=2e-5, atol=2e-6
+    )
