@@ -148,6 +148,39 @@ def plot_feasible_region(out: str = None, **kw):
     return fig
 
 
+def plot_filtered_square_analysis(
+    length=20.0, amplitude=2.0, wave_hz=1.0, fs=1000.0, cutoff=1.0, order=6,
+    out: str = None,
+):
+    """Raw vs low-passed square wave and their spectra — the course-design
+    analysis of src/ref_path_analyze.py."""
+    import math
+
+    from scipy.signal import butter, lfilter, square
+
+    plt = _plt()
+    t = np.linspace(0.0, length, int(length * fs), endpoint=False)
+    raw = amplitude * square(2.0 * math.pi * wave_hz * t)
+    b, a = butter(order, cutoff / (0.5 * fs), btype="low")
+    filt = lfilter(b, a, raw)
+    freqs = np.fft.rfftfreq(len(t), 1.0 / fs)
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(9, 6))
+    ax1.plot(t, raw, "0.7", lw=1, label="Square wave")
+    ax1.plot(t, filt, "r-", lw=2, label="Low-passed course")
+    ax1.set_xlabel("s [m]"), ax1.set_ylabel("y [m]")
+    ax1.legend(), ax1.grid(True)
+    for sig, c, lab in ((raw, "0.7", "raw"), (filt, "r", "filtered")):
+        mag = np.abs(np.fft.rfft(sig)) / len(sig)
+        ax2.semilogy(freqs[1:200], mag[1:200] + 1e-12, color=c, label=lab)
+    ax2.axvline(cutoff, color="k", ls="--", lw=1, label="cutoff")
+    ax2.set_xlabel("frequency"), ax2.set_ylabel("|Y|")
+    ax2.legend(), ax2.grid(True)
+    fig.tight_layout()
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
 def plot_solver_debug(res, course=None, out: str = None, max_candidates=64):
     """One control cycle's internals — the rviz view (config/config.rviz):
     candidate rollouts (green), the optimal path (red), the resampled

@@ -79,3 +79,32 @@ def test_plot_feasible_region_renders(tmp_path):
     out = str(tmp_path / "region.png")
     plot_feasible_region(out=out, n=10)
     assert os.path.getsize(out) > 1000
+
+
+def test_plot_square_analysis_and_solver_debug(tmp_path):
+    from ccv_mppi_path_tracker_tpu.metrics.plots import (
+        plot_filtered_square_analysis,
+        plot_solver_debug,
+    )
+    import jax
+    import jax.numpy as jnp
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+    out1 = str(tmp_path / "sq.png")
+    plot_filtered_square_analysis(out=out1)
+    assert os.path.getsize(out1) > 1000
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=64, horizon=10)
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), 10, 2)
+    state = jnp.asarray([0.0, float(course[0, 1]), 0.0], jnp.float32)
+    _, res = mppi_step(
+        cfg, ctrl, state, path, jnp.float32(0.1), sp, cp, debug_candidates=16
+    )
+    assert res.stats["candidates"].shape == (16, 10, 2)
+    out2 = str(tmp_path / "dbg.png")
+    plot_solver_debug(res, course=course, out=out2)
+    assert os.path.getsize(out2) > 1000
