@@ -70,12 +70,17 @@ class SolverParams:
     lam: softmax temperature lambda (src/diff_drive_mppi.cpp:21,219).
     u_min / u_max: box bounds per control dim, applied by clamping after the
         Gaussian draw (src/diff_drive_mppi.cpp:98-99).
+    noise_beta: temporal correlation of the exploration noise in [0, 1):
+        eps_t = beta*eps_{t-1} + sqrt(1-beta^2)*eta_t (low-frequency /
+        colored sampling; see PAPERS.md "Low Frequency Sampling in MPPI").
+        0 reproduces the reference's white noise exactly.
     """
 
     control_noise: jax.Array
     lam: jax.Array
     u_min: jax.Array
     u_max: jax.Array
+    noise_beta: jax.Array
 
 
 @_pytree_dataclass
@@ -109,13 +114,18 @@ def make_solver_params(
     lam,
     u_min,
     u_max,
+    noise_beta=0.0,
     dtype=np.float32,
 ) -> SolverParams:
     u_min = _arr(u_min, dtype)
     u_max = _arr(u_max, dtype)
     noise = np.broadcast_to(_arr(control_noise, dtype), u_min.shape).copy()
     return SolverParams(
-        control_noise=noise, lam=_arr(lam, dtype), u_min=u_min, u_max=u_max
+        control_noise=noise,
+        lam=_arr(lam, dtype),
+        u_min=u_min,
+        u_max=u_max,
+        noise_beta=_arr(noise_beta, dtype),
     )
 
 

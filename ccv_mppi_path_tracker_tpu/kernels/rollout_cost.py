@@ -43,8 +43,8 @@ _ROWS, _LANES = 32, 128
 
 # scalar-param vector layout (SMEM)
 # [dt, v_ref, path_w, v_w, zmp_w, roll_v_w, back_w, yaw_w, yaw_ref0,
-#  mass, base2com, Ixx, Iyy, Izz, gravity_z]
-_NSCAL = 15
+#  mass, base2com, Ixx, Iyy, Izz, gravity_z, noise_beta]
+_NSCAL = 16
 
 
 def _normals(shape):
@@ -84,13 +84,20 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         # --- sample controls for the whole tile ---------------------------
         # Written straight to the u_out VMEM block and read back per rollout
         # step — keeping all (T-1)*U tiles live as SSA values makes Mosaic's
-        # register allocation explode at T=30+.
+        # register allocation explode at T=30+. Exploration noise is
+        # optionally colored over the horizon (ops/sampling.py color_noise);
+        # beta=0 is bit-exact white noise.
+        beta = scal[15]
+        bscale = jnp.sqrt(1.0 - beta * beta)
+        eps_prev = [None] * u_dim
         for t in range(tm1):
             for j in range(u_dim):
                 if with_noise_input:
-                    eps = noise[t, j]
+                    eta = noise[t, j]
                 else:
-                    eps = _normals((_ROWS, _LANES))
+                    eta = _normals((_ROWS, _LANES))
+                eps = eta if t == 0 else beta * eps_prev[j] + bscale * eta
+                eps_prev[j] = eps
                 val = uprev[t, j] + sigma[j] * eps
                 val = jnp.clip(val, umin[j], umax[j])
                 if steer_off and j == 2:
@@ -264,7 +271,8 @@ def fused_sample_rollout_cost(
     return costs.reshape(num_samples), u_tiles
 
 
-def pack_scalars(dt, cp, yaw_ref0, model_params=None, dtype=jnp.float32):
+def pack_scalars(dt, cp, yaw_ref0, model_params=None, noise_beta=0.0,
+                 dtype=jnp.float32):
     """Build the (_NSCAL,) scalar-parameter vector from the cost/model pytrees."""
     zeros = jnp.zeros((), dtype)
     if model_params is not None:
@@ -281,5 +289,6 @@ def pack_scalars(dt, cp, yaw_ref0, model_params=None, dtype=jnp.float32):
     vals = [
         dt, cp.v_ref, cp.path_weight, cp.v_weight, cp.zmp_weight,
         cp.roll_v_weight, cp.back_weight, cp.yaw_weight, yaw_ref0, *mp,
+        noise_beta,
     ]
     return jnp.stack([jnp.asarray(v, dtype) for v in vals])

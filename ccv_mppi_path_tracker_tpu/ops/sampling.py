@@ -29,6 +29,20 @@ from ccv_mppi_path_tracker_tpu.core.config import SolverParams
 STEER_DIM = 2
 
 
+def color_noise(white, beta):
+    """First-order low-pass over the horizon: eps_t = b*eps_{t-1} +
+    sqrt(1-b^2)*eta_t. Unit marginal variance for any b; b=0 is the identity
+    (the reference's white sampling), so this is branch-free under jit."""
+    scale = jnp.sqrt(1.0 - beta * beta)
+
+    def body(prev, eta):
+        eps = beta * prev + scale * eta
+        return eps, eps
+
+    _, colored = jax.lax.scan(body, white[0], white[1:])
+    return jnp.concatenate([white[:1], colored], axis=0)
+
+
 def sample_controls(
     key,
     u_prev: jax.Array,
@@ -50,6 +64,7 @@ def sample_controls(
         noise = jax.random.normal(
             key, (tm1, num_samples, u_dim), dtype=u_prev.dtype
         )
+    noise = color_noise(noise, params.noise_beta)
     u = u_prev[:, None, :] + noise * params.control_noise
     u = jnp.clip(u, params.u_min, params.u_max)
     if steer_off:

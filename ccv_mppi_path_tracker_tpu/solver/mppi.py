@@ -175,7 +175,7 @@ def _kernel_sample_rollout_cost(
     tm1 = cfg.horizon - 1
     u_dim = ctrl.u_prev.shape[1]
     mp = model_params if cfg.model == "full_body" else None
-    scal = pack_scalars(dt, cp, ref.yaw[0], mp)
+    scal = pack_scalars(dt, cp, ref.yaw[0], mp, noise_beta=sp.noise_beta)
     seed = jax.random.randint(use_key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     if noise is not None:
         # (T-1, K, U) -> tile layout (T-1, U, K/128, 128)

@@ -90,3 +90,42 @@ def test_weighted_update_matches_einsum():
     u = weighted_update(w, jnp.array(samples))
     ref = np.einsum("k,tku->tu", np.asarray(w), samples)
     np.testing.assert_allclose(np.asarray(u), ref, rtol=1e-10)
+
+
+def test_colored_noise_statistics_and_identity():
+    from ccv_mppi_path_tracker_tpu.ops.sampling import color_noise
+
+    rng = np.random.RandomState(0)
+    white = jnp.asarray(rng.randn(40, 4096, 1))
+    # beta=0 is bit-exact identity (reference parity path)
+    np.testing.assert_array_equal(
+        np.asarray(color_noise(white, jnp.asarray(0.0))), np.asarray(white)
+    )
+    # beta=0.8: unit marginal variance, lag-1 autocorrelation ~ beta
+    col = np.asarray(color_noise(white, jnp.asarray(0.8)))[..., 0]
+    assert abs(col.std() - 1.0) < 0.05
+    ac = np.mean(col[1:] * col[:-1]) / np.mean(col * col)
+    assert abs(ac - 0.8) < 0.05
+
+
+def test_colored_noise_kernel_matches_xla():
+    import jax
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=4096, horizon=10,
+                                            dtype=np.float32)
+    import dataclasses as dc
+
+    sp = dc.replace(sp, noise_beta=np.float32(0.6))
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), 10, 2)
+    state = jnp.zeros(3, jnp.float32)
+    noise = jnp.asarray(np.random.RandomState(1).randn(9, 4096, 2), jnp.float32)
+    _, a = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp, noise=noise)
+    _, b = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                     noise=noise, use_kernel=True, kernel_interpret=True)
+    np.testing.assert_allclose(np.asarray(b.u_opt), np.asarray(a.u_opt),
+                               rtol=2e-5, atol=2e-6)
