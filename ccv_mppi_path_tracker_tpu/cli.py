@@ -103,6 +103,38 @@ def cmd_compare(args):
     return 0
 
 
+def cmd_realtime(args):
+    """Wall-clock fixed-rate run with the native scheduler + recorder."""
+    import os
+
+    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
+    from ccv_mppi_path_tracker_tpu.runtime.realtime import run_realtime_experiment
+
+    kwargs = {"horizon": args.horizon}
+    if args.num_samples:
+        kwargs["num_samples"] = args.num_samples
+    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    rec = None
+    if args.record:
+        os.makedirs(args.record, exist_ok=True)
+        rec = os.path.join(args.record, f"{args.preset}_realtime.csv")
+    out = run_realtime_experiment(
+        cfg, sp, cp, course, hz=args.hz, num_cycles=args.steps, record_path=rec
+    )
+    m, rs = out["metrics"], out["rate_stats"]
+    print(f"Time: {round(m['time'], 1)}")
+    print(f"Max Error: {round(m['max_error'], 3)}")
+    print(f"RMSE Error: {round(m['rmse'], 3)}")
+    print(
+        f"rate: {rs['cycles']} cycles, {rs['deadline_misses']} misses, "
+        f"mean dt {rs['mean_dt']*1e3:.2f} ms, max jitter "
+        f"{rs['max_abs_jitter']*1e3:.2f} ms"
+    )
+    if rec:
+        print(f"recorded: {rec}")
+    return 0
+
+
 def cmd_course(args):
     from ccv_mppi_path_tracker_tpu.paths import (
         circle_course,
@@ -179,6 +211,13 @@ def main(argv=None):
     ps = sub.add_parser("sysid", help="system-identification demo")
     ps.add_argument("--seed", type=int, default=0)
     ps.set_defaults(fn=cmd_sysid)
+
+    prt = sub.add_parser(
+        "realtime", help="fixed-rate native-runtime tracking experiment"
+    )
+    _add_run_args(prt)
+    prt.add_argument("--hz", type=float, default=10.0)
+    prt.set_defaults(fn=cmd_realtime)
 
     args = p.parse_args(argv)
     return args.fn(args)
