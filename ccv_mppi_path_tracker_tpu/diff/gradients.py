@@ -14,7 +14,6 @@ what autodiff of the reference's scan-min would give.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ the full-body ZMP chain (src/full_body_mppi.cpp:404-424, :445-486).
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

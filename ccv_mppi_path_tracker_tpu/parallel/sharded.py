@@ -11,7 +11,6 @@ single-device run fed the concatenated noise (tests/test_sharding.py).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -9,10 +9,9 @@ actuated command u[0] each cycle, with optional process noise.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import jax
-import jax.numpy as jnp
 
 from ccv_mppi_path_tracker_tpu.models.registry import get_model
 

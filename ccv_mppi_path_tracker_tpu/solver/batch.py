@@ -10,8 +10,7 @@ trajectories per control tick on a single chip — production serving shape.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

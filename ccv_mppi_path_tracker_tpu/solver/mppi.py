@@ -165,7 +165,6 @@ def _kernel_sample_rollout_cost(
 ):
     """Bridge the fused Pallas kernel into the step (costs + (T-1,U,K) u)."""
     from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
-        K_TILE,
         fused_sample_rollout_cost,
         pack_scalars,
     )
