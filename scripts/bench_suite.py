@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Detailed benchmark suite -> BENCH_DETAIL.md.
+
+Covers the BASELINE.json config matrix: all three models, K sweep, XLA vs
+fused-kernel execution, T in {15, 30, 100}, plus the measured serial C++
+baseline. Chained-marginal timing (see bench.py docstring for why).
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+from ccv_mppi_path_tracker_tpu.core import ControllerState
+from ccv_mppi_path_tracker_tpu.core.presets import (
+    diff_drive_launch, full_body_launch, steering_launch,
+)
+from ccv_mppi_path_tracker_tpu.models import get_model
+from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+LAUNCH = {"unicycle": diff_drive_launch, "steering_unicycle": steering_launch,
+          "full_body": full_body_launch}
+g = jax.jit(lambda x: jnp.sum(x))
+
+
+def measure(model, K, T, use_kernel, short=4, long=24):
+    cfg, sp, cp, course = LAUNCH[model](num_samples=K, horizon=T)
+    m = get_model(cfg.model)
+    path = PathBuffer.from_points(course, 0.1)
+    state = jnp.zeros(m.num_states, jnp.float32).at[1].set(float(course[0, 1]))
+    dt = jnp.float32(0.1)
+    f = jax.jit(functools.partial(mppi_step, cfg, use_kernel=use_kernel),
+                donate_argnums=(0,))
+    mk = lambda: ControllerState.initial(jax.random.PRNGKey(0), T, m.num_controls)
+    ctrl, res = f(mk(), state, path, dt, sp, cp); float(g(res.u0))
+
+    def chain(iters):
+        c = mk()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            c, r = f(c, state, path, dt, sp, cp)
+        float(g(r.u0))
+        return time.perf_counter() - t0
+
+    per = (chain(long) - chain(short)) / (long - short)
+    return per
+
+
+def main():
+    rows = []
+    cases = [
+        ("unicycle", 1000, 15), ("unicycle", 102400, 30),
+        ("steering_unicycle", 10240, 15), ("steering_unicycle", 102400, 30),
+        ("full_body", 10240, 15), ("full_body", 102400, 30),
+        ("full_body", 1048576, 30), ("full_body", 102400, 100),
+    ]
+    for model, K, T in cases:
+        for use_kernel in (False, True):
+            if use_kernel and K % 4096 != 0:
+                continue
+            try:
+                per = measure(model, K, T, use_kernel)
+                rows.append((model, K, T, "kernel" if use_kernel else "xla",
+                             per * 1e3, K * (T - 1) / per / 1e9, 1.0 / per))
+                print(rows[-1], flush=True)
+            except Exception as e:
+                print(f"FAILED {model} K={K} T={T} kernel={use_kernel}: {e}",
+                      flush=True)
+
+    with open("/root/repo/BENCH_DETAIL.md", "w") as f:
+        f.write("# Benchmark detail (TPU v5e, 1 chip; chained-marginal timing)\n\n")
+        f.write("Full control update: sample + rollout (+ZMP) + cost + softmax "
+                "+ update.\n\n")
+        f.write("| model | K | T | path | ms/update | G prop/s | replan Hz |\n")
+        f.write("|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]:.2f} | "
+                    f"{r[5]:.2f} | {r[6]:.0f} |\n")
+        f.write("\nMeasured serial C++ oracle (same semantics, host CPU): "
+                "unicycle K=1000 T=15: 0.5 ms; full_body K=10000 T=15: 10.7 ms; "
+                "full_body K=100000 T=30: 279 ms.\n")
+    print("wrote BENCH_DETAIL.md")
+
+
+if __name__ == "__main__":
+    main()
