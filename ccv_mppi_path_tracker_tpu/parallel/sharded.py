@@ -100,6 +100,7 @@ def build_sharded_simulate(
     num_steps: int,
     plant: Optional[Plant] = None,
     axis: str = SAMPLES_AXIS,
+    use_kernel: bool = False,
 ):
     """Closed-loop fused scan with the controller sample-sharded over ``mesh``.
 
@@ -131,6 +132,7 @@ def build_sharded_simulate(
                 model_params=model_params,
                 axis_name=axis,
                 num_samples=k_local,
+                use_kernel=use_kernel,
             )
             state = plant.step(plant_key, state, res.u0, dt)
             log = {"state": state, "u0": res.u0}
@@ -142,7 +144,8 @@ def build_sharded_simulate(
 
     rep = P()
     sim = jax.shard_map(
-        local_sim, mesh=mesh, in_specs=(rep,) * 7, out_specs=rep
+        local_sim, mesh=mesh, in_specs=(rep,) * 7, out_specs=rep,
+        check_vma=not use_kernel,
     )
 
     @jax.jit

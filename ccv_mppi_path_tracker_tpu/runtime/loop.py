@@ -83,15 +83,12 @@ class ControlLoop:
     nominal_dt: float = 0.1
 
     def __post_init__(self):
+        # path/params are traced arguments, not closures: a new course of the
+        # same buffer capacity (the reference republishes /reference_path
+        # every tick) or retuned weights swap in without recompiling.
         self._step = jax.jit(
-            lambda ctrl, state, dt: mppi_step(
-                self.cfg,
-                ctrl,
-                state,
-                self.path,
-                dt,
-                self.sp,
-                self.cp,
+            lambda ctrl, state, path, dt, sp, cp: mppi_step(
+                self.cfg, ctrl, state, path, dt, sp, cp,
                 model_params=self.model_params,
             )
         )
@@ -100,6 +97,10 @@ class ControlLoop:
         self.ctrl = ControllerState.initial(
             jax.random.PRNGKey(0), self.cfg.horizon, model.num_controls
         )
+
+    def set_path(self, path: PathBuffer):
+        """Swap the reference course (recompile-free at equal capacity)."""
+        self.path = path
 
     def measure_dt(self) -> float:
         now = time.monotonic()
@@ -115,7 +116,10 @@ class ControlLoop:
         if dt is None:
             dt = self.measure_dt()
         state = jnp.asarray(state, dtype=self.ctrl.u_prev.dtype)
-        self.ctrl, res = self._step(self.ctrl, state, jnp.asarray(dt, state.dtype))
+        self.ctrl, res = self._step(
+            self.ctrl, state, self.path, jnp.asarray(dt, state.dtype),
+            self.sp, self.cp,
+        )
         return res
 
 

@@ -1,0 +1,69 @@
+"""Command-geometry unit tests against hand-computed turning-radius values."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from ccv_mppi_path_tracker_tpu.solver.command import (
+    command_from_solution,
+    wheel_steer_angles,
+)
+
+TREAD = 0.501
+
+
+def test_wheel_steer_angles_hand_computed():
+    v, w, d = 1.0, 0.5, np.radians(10.0)
+    r = abs(v / w)  # 2.0
+    sl, sr = wheel_steer_angles(jnp.asarray(v), jnp.asarray(w), jnp.asarray(d), TREAD)
+    steer_in = np.arctan2(r * np.sin(d), r * np.cos(d) - TREAD / 2)
+    steer_out = np.arctan2(r * np.sin(d), r * np.cos(d) + TREAD / 2)
+    # w > 0: left wheel is the inner wheel (src/steering_diff_drive_mppi.cpp:284)
+    np.testing.assert_allclose(float(sl), steer_in, rtol=1e-6)
+    np.testing.assert_allclose(float(sr), steer_out, rtol=1e-6)
+    # inner wheel steers more sharply
+    assert abs(float(sl)) > abs(float(sr))
+
+
+def test_wheel_steer_sides_swap_with_turn_direction():
+    v, d = 1.0, np.radians(10.0)
+    sl_p, sr_p = wheel_steer_angles(jnp.asarray(v), jnp.asarray(0.5), jnp.asarray(d), TREAD)
+    sl_n, sr_n = wheel_steer_angles(jnp.asarray(v), jnp.asarray(-0.5), jnp.asarray(d), TREAD)
+    np.testing.assert_allclose(float(sl_p), float(sr_n), rtol=1e-6)
+    np.testing.assert_allclose(float(sr_p), float(sl_n), rtol=1e-6)
+
+
+def test_zero_steer_goes_straight():
+    sl, sr = wheel_steer_angles(jnp.asarray(1.0), jnp.asarray(0.5), jnp.asarray(0.0), TREAD)
+    assert float(sl) == 0.0 and float(sr) == 0.0
+
+
+def test_command_unicycle_zero_steer_with_pitch_offset():
+    cmd = command_from_solution(
+        "unicycle", jnp.array([0.8, 0.2]), 0.1, pitch_offset=np.radians(3.0)
+    )
+    assert float(cmd.steer_l) == float(cmd.steer_r) == 0.0
+    np.testing.assert_allclose(float(cmd.fore), np.radians(3.0), rtol=1e-6)
+    assert float(cmd.roll) == 0.0
+
+
+def test_command_full_body_roll_integration_and_clamp():
+    u0 = jnp.array([1.0, 0.3, 0.1, 0.4, 0.0])  # roll_v = 0.4 rad/s
+    cmd = command_from_solution(
+        "full_body", u0, dt=0.1, current_roll=0.2, roll_max=0.25
+    )
+    # roll = clamp(0.2 + 0.04, max 0.25) = 0.24
+    np.testing.assert_allclose(float(cmd.roll), 0.24, rtol=1e-6)
+    cmd2 = command_from_solution(
+        "full_body", u0, dt=0.5, current_roll=0.2, roll_max=0.25
+    )
+    np.testing.assert_allclose(float(cmd2.roll), 0.25, rtol=1e-6)  # clamped
+    cmd3 = command_from_solution(
+        "full_body", u0, dt=0.1, current_roll=0.2, roll_off=True
+    )
+    assert float(cmd3.roll) == 0.0
+
+
+def test_command_steer_off_zeroes_wheels():
+    u0 = jnp.array([1.0, 0.3, 0.2, 0.0, 0.0])
+    cmd = command_from_solution("full_body", u0, 0.1, steer_off=True)
+    assert float(cmd.steer_l) == float(cmd.steer_r) == 0.0

@@ -167,3 +167,23 @@ def test_true_zmp_from_forces():
 
 def test_lowpass():
     np.testing.assert_allclose(float(lowpass(0.0, 1.0)), 0.3)
+
+
+def test_control_loop_path_swap_no_recompile():
+    """Swapping a same-capacity course mid-run reuses the compiled step."""
+    import jax
+    from ccv_mppi_path_tracker_tpu.paths import sum_of_cosines_course
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=64)
+    path_a = PathBuffer.from_points(course, 0.1)
+    loop = ControlLoop(cfg=cfg, sp=sp, cp=cp, path=path_a)
+    loop.step(np.zeros(3, np.float32), dt=0.1)
+    compiles_before = loop._step._cache_size()
+    course_b = sum_of_cosines_course(
+        amplitudes=(0.5, 0, 0), frequencies=(0.2, 0, 0), deltas=(0, 0, 0),
+        resolution=0.1, course_length=len(course) * 0.1,
+    )[: len(course)]
+    loop.set_path(PathBuffer.from_points(course_b, 0.1))
+    res = loop.step(np.zeros(3, np.float32), dt=0.1)
+    assert np.isfinite(np.asarray(res.u0)).all()
+    assert loop._step._cache_size() == compiles_before
