@@ -34,11 +34,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ccv_mppi_path_tracker_tpu.ops.mindist import DIST_CAP
 
-# Samples per kernel program: a (32, 128) tile = 4096 samples. Taller tiles
-# amortize the t-loop / ref-loop control overhead over more vector registers
-# (8 rows measured ~2x slower at large K).
+# Samples per kernel program: up to a (32, 128) tile = 4096 samples. Taller
+# tiles amortize the t-loop / ref-loop control overhead over more vector
+# registers (8 rows measured ~2x slower at large K), but the (T-1, U, rows,
+# 128) controls block must fit VMEM with double buffering, so the tile height
+# shrinks automatically at large horizons (see tile_rows()).
 K_TILE = 4096
-_ROWS, _LANES = 32, 128
+_LANES = 128
+# VMEM budget for the double-buffered controls blocks (chip VMEM is 16 MB).
+_VMEM_BUDGET = 12 * 1024 * 1024
+
+
+def tile_rows(horizon: int, u_dim: int, with_noise_input: bool) -> int:
+    """Largest tile height whose controls blocks fit the VMEM budget."""
+    factor = 4 if with_noise_input else 2  # in+out blocks, double buffered
+    for rows in (32, 16, 8):
+        if factor * (horizon - 1) * u_dim * rows * _LANES * 4 <= _VMEM_BUDGET:
+            return rows
+    return 8
 
 # scalar-param vector layout (SMEM)
 # [dt, v_ref, path_w, v_w, zmp_w, roll_v_w, back_w, yaw_w, yaw_ref0,
@@ -64,9 +77,10 @@ def _normals(shape):
 
 
 def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
-                 with_noise_input: bool, steer_off: bool):
+                 with_noise_input: bool, steer_off: bool, rows: int):
     tm1 = horizon - 1
     cap2 = DIST_CAP * DIST_CAP
+    _ROWS = rows
 
     def kernel(*refs):
         if with_noise_input:
@@ -220,12 +234,17 @@ def fused_sample_rollout_cost(
     tm1, u_dim = u_prev.shape
     horizon = tm1 + 1
     num_ref = ref_xy.shape[0]
-    assert num_samples % K_TILE == 0, f"K={num_samples} must be a multiple of {K_TILE}"
-    grid = num_samples // K_TILE
+    rows = tile_rows(horizon, u_dim, noise is not None)
+    tile = rows * _LANES
+    assert num_samples % tile == 0, (
+        f"K={num_samples} must be a multiple of the kernel tile {tile} "
+        f"(horizon {horizon})"
+    )
+    grid = num_samples // tile
     rows_total = num_samples // _LANES
 
     kernel = _make_kernel(
-        model, horizon, num_ref, u_dim, noise is not None, steer_off
+        model, horizon, num_ref, u_dim, noise is not None, steer_off, rows
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -234,7 +253,7 @@ def fused_sample_rollout_cost(
     if noise is not None:
         in_specs.append(
             pl.BlockSpec(
-                (tm1, u_dim, _ROWS, _LANES),
+                (tm1, u_dim, rows, _LANES),
                 lambda i: (0, 0, i, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -251,9 +270,9 @@ def fused_sample_rollout_cost(
         ),
     )
     out_specs = (
-        pl.BlockSpec((_ROWS, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(
-            (tm1, u_dim, _ROWS, _LANES),
+            (tm1, u_dim, rows, _LANES),
             lambda i: (0, 0, i, 0),
             memory_space=pltpu.VMEM,
         ),
