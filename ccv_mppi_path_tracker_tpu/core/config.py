@@ -36,7 +36,8 @@ def _pytree_dataclass(cls):
 class SolverConfig:
     """Static solver structure. Hashable; closed over by jit.
 
-    model: one of "unicycle", "steering_unicycle", "full_body".
+    model: one of "unicycle", "steering_unicycle", "rate_limited_steering",
+        "full_body".
     num_samples: K, rollouts per control step (reference ``num_samples``,
         src/diff_drive_mppi.cpp:19 / src/full_body_mppi.cpp:10).
     horizon: T, states per rollout; controls have length T-1 (reference
@@ -52,11 +53,21 @@ class SolverConfig:
 
     @property
     def num_controls(self) -> int:
-        return {"unicycle": 2, "steering_unicycle": 3, "full_body": 5}[self.model]
+        return {
+            "unicycle": 2,
+            "steering_unicycle": 3,
+            "rate_limited_steering": 3,
+            "full_body": 5,
+        }[self.model]
 
     @property
     def num_states(self) -> int:
-        return {"unicycle": 3, "steering_unicycle": 3, "full_body": 5}[self.model]
+        return {
+            "unicycle": 3,
+            "steering_unicycle": 3,
+            "rate_limited_steering": 4,
+            "full_body": 5,
+        }[self.model]
 
 
 @_pytree_dataclass
@@ -207,6 +218,39 @@ def steering_diff_drive_config(
         lam,
         [v_min, w_min, steer_min],
         [v_max, w_max, steer_max],
+        dtype=dtype,
+    )
+    cp = make_cost_params(
+        v_ref=v_ref, path_weight=path_weight, v_weight=v_weight, dtype=dtype
+    )
+    return cfg, sp, cp
+
+
+def rate_limited_steering_config(
+    num_samples: int = 10000,
+    horizon: int = 15,
+    control_noise: float = 0.5,
+    lam: float = 1.0,
+    v_max: float = 1.2,
+    v_min: float = -1.2,
+    w_max: float = 1.0,
+    w_min: float = -1.0,
+    steer_rate_max: float = 2.6,
+    v_ref: float = 0.8,
+    path_weight: float = 1.0,
+    v_weight: float = 1.0,
+    dtype=np.float32,
+) -> Tuple[SolverConfig, SolverParams, CostParams]:
+    """The BASELINE.json "steering-angle states + rate limits" family
+    (models/rate_limited_steering.py); not present in the reference."""
+    cfg = SolverConfig(
+        model="rate_limited_steering", num_samples=num_samples, horizon=horizon
+    )
+    sp = make_solver_params(
+        control_noise,
+        lam,
+        [v_min, w_min, -steer_rate_max],
+        [v_max, w_max, steer_rate_max],
         dtype=dtype,
     )
     cp = make_cost_params(

@@ -231,6 +231,9 @@ def fused_sample_rollout_cost(
     seed: (1,) int32; noise (optional, parity mode): (T-1, U, K/128, 128).
     Returns (costs (K,), u_samples (T-1, U, K/128, 128)).
     """
+    assert model in ("unicycle", "steering_unicycle", "full_body"), (
+        f"fused kernel does not implement model {model!r}; use the XLA path"
+    )
     tm1, u_dim = u_prev.shape
     horizon = tm1 + 1
     num_ref = ref_xy.shape[0]

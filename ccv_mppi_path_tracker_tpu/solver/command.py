@@ -66,6 +66,7 @@ def command_from_solution(
     tread: float = 0.501,
     pitch_offset: float = 0.0,
     current_roll=0.0,
+    current_steer=0.0,
     roll_min: float = -0.5235987755982988,
     roll_max: float = 0.5235987755982988,
     roll_off: bool = False,
@@ -80,7 +81,13 @@ def command_from_solution(
         steer_l = steer_r = zero
         roll = zero
     else:
-        direction = u0[2]
+        if model_name == "rate_limited_steering":
+            # u0[2] is a steering *rate*; the commanded angle is the measured
+            # servo angle advanced one step — mirroring the full-body node's
+            # roll integration (src/full_body_mppi.cpp:266).
+            direction = current_steer + u0[2] * dt
+        else:
+            direction = u0[2]
         if steer_off:
             steer_l = steer_r = zero
         else:
