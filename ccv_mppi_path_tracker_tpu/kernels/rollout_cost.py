@@ -34,12 +34,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ccv_mppi_path_tracker_tpu.ops.mindist import DIST_CAP
 
-# Samples per kernel program: up to a (32, 128) tile = 4096 samples. Taller
+# Samples per kernel program: up to a (64, 128) tile = 8192 samples. Taller
 # tiles amortize the t-loop / ref-loop control overhead over more vector
 # registers (8 rows measured ~2x slower at large K), but the (T-1, U, rows,
 # 128) controls block must fit VMEM with double buffering, so the tile height
 # shrinks automatically at large horizons (see tile_rows()).
-K_TILE = 4096
+K_TILE = 8192
 _LANES = 128
 # VMEM budget for the double-buffered controls blocks (chip VMEM is 16 MB).
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -48,7 +48,7 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 def tile_rows(horizon: int, u_dim: int, with_noise_input: bool) -> int:
     """Largest tile height whose controls blocks fit the VMEM budget."""
     factor = 4 if with_noise_input else 2  # in+out blocks, double buffered
-    for rows in (32, 16, 8):
+    for rows in (64, 32, 16, 8):
         if factor * (horizon - 1) * u_dim * rows * _LANES * 4 <= _VMEM_BUDGET:
             return rows
     return 8
