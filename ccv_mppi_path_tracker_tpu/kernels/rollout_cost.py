@@ -45,12 +45,17 @@ _LANES = 128
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def tile_rows(horizon: int, u_dim: int, with_noise_input: bool) -> int:
-    """Largest tile height whose controls blocks fit the VMEM budget."""
+def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
+              num_samples: int | None = None) -> int:
+    """Largest tile height whose controls blocks fit the VMEM budget and
+    (when given) divides num_samples."""
     factor = 4 if with_noise_input else 2  # in+out blocks, double buffered
     for rows in (64, 32, 16, 8):
-        if factor * (horizon - 1) * u_dim * rows * _LANES * 4 <= _VMEM_BUDGET:
-            return rows
+        if factor * (horizon - 1) * u_dim * rows * _LANES * 4 > _VMEM_BUDGET:
+            continue
+        if num_samples is not None and num_samples % (rows * _LANES) != 0:
+            continue
+        return rows
     return 8
 
 # scalar-param vector layout (SMEM)
@@ -237,7 +242,7 @@ def fused_sample_rollout_cost(
     tm1, u_dim = u_prev.shape
     horizon = tm1 + 1
     num_ref = ref_xy.shape[0]
-    rows = tile_rows(horizon, u_dim, noise is not None)
+    rows = tile_rows(horizon, u_dim, noise is not None, num_samples)
     tile = rows * _LANES
     assert num_samples % tile == 0, (
         f"K={num_samples} must be a multiple of the kernel tile {tile} "
