@@ -3,6 +3,7 @@ from ccv_mppi_path_tracker_tpu.solver.command import (
     WheelSteerCommand,
     command_from_solution,
     wheel_steer_angles,
+    wheel_speeds,
 )
 
 __all__ = [
@@ -11,4 +12,5 @@ __all__ = [
     "WheelSteerCommand",
     "command_from_solution",
     "wheel_steer_angles",
+    "wheel_speeds",
 ]

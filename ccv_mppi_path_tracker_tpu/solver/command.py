@@ -59,6 +59,26 @@ def wheel_steer_angles(v, w, direction, tread):
     return steer_l, steer_r
 
 
+def wheel_speeds(v, w, steer_l, steer_r, tread=0.501, wheel_radius=0.1435):
+    """Left/right wheel angular velocities (rad/s) for the commanded motion.
+
+    Completes the actuation chain the reference delegates to its downstream
+    diff-drive controller. Without steering, the classic differential split
+    vl,r = v -+ w*tread/2. With distinct same-sign steering angles the wheels
+    ride different turning radii Rl = sin|dr| L / sin|dl - dr| (the relation
+    used in the feasibility analysis, src/v_w_performance.py:43-45), so the
+    speed split becomes (vr - vl) = w * |Rr - Rl|.
+    """
+    sl, sr = steer_l, steer_r
+    parallel = jnp.abs(sl - sr) < 1e-6
+    rl = jnp.sin(jnp.abs(sr)) * tread / jnp.sin(jnp.abs(sl - sr) + 1e-12)
+    rr = jnp.sin(jnp.abs(sl)) * tread / jnp.sin(jnp.abs(sr - sl) + 1e-12)
+    split = jnp.where(parallel, tread, jnp.abs(rr - rl))
+    vl = v - w * split / 2.0
+    vr = v + w * split / 2.0
+    return vl / wheel_radius, vr / wheel_radius
+
+
 def command_from_solution(
     model_name: str,
     u0,

@@ -67,3 +67,32 @@ def test_command_steer_off_zeroes_wheels():
     u0 = jnp.array([1.0, 0.3, 0.2, 0.0, 0.0])
     cmd = command_from_solution("full_body", u0, 0.1, steer_off=True)
     assert float(cmd.steer_l) == float(cmd.steer_r) == 0.0
+
+
+def test_wheel_speeds_no_steer_differential_split():
+    from ccv_mppi_path_tracker_tpu.solver.command import wheel_speeds
+
+    wl, wr = wheel_speeds(
+        jnp.asarray(1.0), jnp.asarray(0.5), jnp.asarray(0.0), jnp.asarray(0.0)
+    )
+    r, L = 0.1435, 0.501
+    np.testing.assert_allclose(float(wl), (1.0 - 0.5 * L / 2) / r, rtol=1e-6)
+    np.testing.assert_allclose(float(wr), (1.0 + 0.5 * L / 2) / r, rtol=1e-6)
+
+
+def test_wheel_speeds_steered_split_uses_radii():
+    from ccv_mppi_path_tracker_tpu.solver.command import wheel_speeds
+
+    v, w, d = 1.0, 0.5, np.radians(10.0)
+    sl, sr = wheel_steer_angles(jnp.asarray(v), jnp.asarray(w), jnp.asarray(d), TREAD)
+    wl, wr = wheel_speeds(jnp.asarray(v), jnp.asarray(w), sl, sr)
+    rl = np.sin(abs(float(sr))) * TREAD / np.sin(abs(float(sl) - float(sr)))
+    rr = np.sin(abs(float(sl))) * TREAD / np.sin(abs(float(sr) - float(sl)))
+    split = abs(rr - rl)
+    np.testing.assert_allclose(
+        float(wr) - float(wl), w * split / 0.1435, rtol=1e-4
+    )
+    # mean wheel speed carries the forward velocity
+    np.testing.assert_allclose(
+        (float(wr) + float(wl)) / 2, v / 0.1435, rtol=1e-6
+    )
