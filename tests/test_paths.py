@@ -99,3 +99,15 @@ def test_resample_reference_clamps_at_course_end():
     path = PathBuffer.from_points(course, 0.1, dtype=np.float64)
     ref = resample_reference(path, jnp.array([1.9, 0.0]), 1.0, 0.5, 8)
     np.testing.assert_allclose(np.asarray(ref.xy), [[1.9, 0.0]] * 8)
+
+
+def test_circle_course_legacy_step_quirk():
+    """The reference's circle branch steps the parameter by
+    (resolution/2)*pi*R per sample (operator-precedence quirk,
+    src/reference_path_creator.cpp:58); legacy_step=True reproduces it."""
+    c = circle_course(radius=2.0, resolution=0.1, legacy_step=True)
+    # step = 0.05*pi*2 = 0.1*pi rad; 200*pi span -> 2000 points (+1)
+    assert abs(len(c) - 2001) <= 1
+    # all points still on the circle
+    r = np.hypot(c[:, 0], c[:, 1] - 2.0)
+    np.testing.assert_allclose(r, 2.0, rtol=1e-9)
