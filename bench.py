@@ -41,8 +41,11 @@ def main():
                    choices=["unicycle", "steering_unicycle", "full_body"])
     p.add_argument("--num-samples", type=int, default=102_400)
     p.add_argument("--horizon", type=int, default=30)
-    p.add_argument("--short", type=int, default=4)
-    p.add_argument("--long", type=int, default=24)
+    p.add_argument("--short", type=int, default=8)
+    p.add_argument("--long", type=int, default=72)
+    p.add_argument("--reps", type=int, default=3,
+                   help="repetitions per chain length; min is used (relay "
+                        "round-trip jitter is additive noise)")
     p.add_argument("--no-kernel", action="store_true",
                    help="use the XLA pipeline instead of the Pallas kernel")
     args = p.parse_args()
@@ -91,8 +94,14 @@ def main():
     fetch(res)
     compile_s = time.time() - t0
 
-    t_short = _chain_time(step, make_ctrl, step_args, fetch, args.short)
-    t_long = _chain_time(step, make_ctrl, step_args, fetch, args.long)
+    t_short = min(
+        _chain_time(step, make_ctrl, step_args, fetch, args.short)
+        for _ in range(args.reps)
+    )
+    t_long = min(
+        _chain_time(step, make_ctrl, step_args, fetch, args.long)
+        for _ in range(args.reps)
+    )
     per_step = (t_long - t_short) / (args.long - args.short)
 
     props = args.num_samples * (args.horizon - 1)

@@ -37,7 +37,7 @@ def _add_run_args(p):
 
 
 def cmd_run(args):
-    import jax.numpy as jnp
+
 
     from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
     from ccv_mppi_path_tracker_tpu.runtime import run_tracking_experiment
