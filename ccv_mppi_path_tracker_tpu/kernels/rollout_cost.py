@@ -142,7 +142,33 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         # The time loop is a fori_loop with dynamic indexing into the u_out
         # VMEM block — unrolling T=30..100 steps made Mosaic compiles
         # pathologically slow.
-        if model in ("unicycle", "steering_unicycle"):
+        if model == "rate_limited_steering":
+            from ccv_mppi_path_tracker_tpu.models.rate_limited_steering import (
+                RATE_MAX,
+                STEER_MAX,
+            )
+
+            steer = jnp.full((_ROWS, _LANES), state0[3])
+
+            def rl_body(t, carry):
+                x, y, yaw, steer, cost = carry
+                cost += scal[2] * path_d2(x, y)
+                v, w = u_out[t, 0], u_out[t, 1]
+                rate = jnp.clip(u_out[t, 2], -RATE_MAX, RATE_MAX)
+                dv = v - v_ref
+                cost += scal[3] * dv * dv
+                heading = yaw + steer
+                x = x + v * jnp.cos(heading) * dt
+                y = y + v * jnp.sin(heading) * dt
+                yaw = yaw + w * dt
+                steer = jnp.clip(steer + rate * dt, -STEER_MAX, STEER_MAX)
+                return x, y, yaw, steer, cost
+
+            x, y, yaw, steer, cost = jax.lax.fori_loop(
+                0, tm1, rl_body, (x, y, yaw, steer, cost)
+            )
+            cost += scal[2] * path_d2(x, y)  # final state's path term
+        elif model in ("unicycle", "steering_unicycle"):
             # path term over all T states, velocity term over T-1 controls
             # (ops/costs.py tracking_cost)
             def step_body(t, carry):
@@ -236,9 +262,9 @@ def fused_sample_rollout_cost(
     seed: (1,) int32; noise (optional, parity mode): (T-1, U, K/128, 128).
     Returns (costs (K,), u_samples (T-1, U, K/128, 128)).
     """
-    assert model in ("unicycle", "steering_unicycle", "full_body"), (
-        f"fused kernel does not implement model {model!r}; use the XLA path"
-    )
+    assert model in (
+        "unicycle", "steering_unicycle", "rate_limited_steering", "full_body"
+    ), f"fused kernel does not implement model {model!r}; use the XLA path"
     tm1, u_dim = u_prev.shape
     horizon = tm1 + 1
     num_ref = ref_xy.shape[0]

@@ -102,3 +102,24 @@ def test_kernel_rng_mode_statistics():
     # update stays inside the control box
     assert float(jnp.max(res_a.u_opt[:, 0])) <= float(sp.u_max[0]) + 1e-6
     assert float(jnp.min(res_a.u_opt[:, 0])) >= float(sp.u_min[0]) - 1e-6
+
+
+def test_kernel_rate_limited_matches_xla():
+    from ccv_mppi_path_tracker_tpu.core.config import rate_limited_steering_config
+
+    cfg, sp, cp = rate_limited_steering_config(
+        num_samples=K, horizon=T, path_weight=10.0
+    )
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+
+    _, _, _, course = diff_drive_launch()
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), T, 3)
+    state = jnp.zeros(4, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(np.random.RandomState(5).randn(T - 1, K, 3), jnp.float32)
+    dt = jnp.float32(0.1)
+    _, a = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise)
+    _, b = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                     use_kernel=True, kernel_interpret=True)
+    np.testing.assert_allclose(np.asarray(b.u_opt), np.asarray(a.u_opt),
+                               rtol=2e-5, atol=2e-6)
