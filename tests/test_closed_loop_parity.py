@@ -32,7 +32,7 @@ DT = 0.1
 CYCLES = 20
 
 
-@pytest.mark.parametrize("model_name", ["unicycle", "full_body"])
+@pytest.mark.parametrize("model_name", ["unicycle", "steering_unicycle", "full_body"])
 def test_closed_loop_lockstep_parity(model_name):
     course = sum_of_cosines_course(
         amplitudes=(1.0, 0, 0), frequencies=(0.25, 0, 0), deltas=(0, 0, 0),
@@ -43,6 +43,14 @@ def test_closed_loop_lockstep_parity(model_name):
             num_samples=K, horizon=T, path_weight=10.0, dtype=np.float64
         )
         u_dim, s_dim = 2, 3
+        mp = None
+    elif model_name == "steering_unicycle":
+        from ccv_mppi_path_tracker_tpu.core.config import steering_diff_drive_config
+
+        cfg, sp, cp = steering_diff_drive_config(
+            num_samples=K, horizon=T, path_weight=10.0, dtype=np.float64
+        )
+        u_dim, s_dim = 3, 3
         mp = None
     else:
         cfg, sp, cp = full_body_config(
