@@ -186,6 +186,9 @@ def cmd_sysid(args):
 
 
 def main(argv=None):
+    from ccv_mppi_path_tracker_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="ccv_mppi_path_tracker_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
