@@ -135,6 +135,26 @@ def cmd_realtime(args):
     return 0
 
 
+def cmd_export(args):
+    """Serialize the compiled control step for deployment (jax.export)."""
+    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.runtime.export import export_control_step
+
+    kwargs = {"horizon": args.horizon}
+    if args.num_samples:
+        kwargs["num_samples"] = args.num_samples
+    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    blob = export_control_step(
+        cfg, path_capacity=len(course), sp=sp, cp=cp
+    )
+    with open(args.out, "wb") as f:
+        f.write(blob)
+    print(f"exported {cfg.model} K={cfg.num_samples} T={cfg.horizon} "
+          f"({len(blob)} bytes) -> {args.out}")
+    return 0
+
+
 def cmd_course(args):
     from ccv_mppi_path_tracker_tpu.paths import (
         circle_course,
@@ -221,6 +241,11 @@ def main(argv=None):
     _add_run_args(prt)
     prt.add_argument("--hz", type=float, default=10.0)
     prt.set_defaults(fn=cmd_realtime)
+
+    pe = sub.add_parser("export", help="serialize the compiled control step")
+    _add_run_args(pe)
+    pe.add_argument("--out", default="control_step.bin")
+    pe.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     return args.fn(args)
