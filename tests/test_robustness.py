@@ -61,3 +61,24 @@ def test_course_end_behavior():
     final_dist = np.hypot(*(logs["state"][-1, :2] - end))
     # parked near the course end (the v_ref term keeps some dithering)
     assert final_dist < 1.0, final_dist
+
+
+def test_dkan_corridor_tracking():
+    """The reference's building-corridor experiment
+    (launch/dkan_diff_drive_mppi.launch): piecewise-linear course with 90-deg
+    corners, tracked raw and with cubic-spline smoothing."""
+    from ccv_mppi_path_tracker_tpu.paths import dkan_course, spline_resample_course
+
+    cfg, sp, cp, _ = diff_drive_launch(num_samples=256)
+    course = dkan_course(resolution=0.1).astype(np.float32)
+    out = run_tracking_experiment(cfg, sp, cp, course, num_steps=200)
+    # corners force deviation; bounded error and real progress required
+    assert out["metrics"]["max_error"] < 0.6, out["metrics"]
+    assert out["logs"]["state"][-1, 0] > 15.0
+
+    smooth = spline_resample_course(
+        [[0.0, 0.0], [8.0, 0.0], [17.7, 0.0], [17.7, 4.0], [17.7, 8.0],
+         [9.0, 8.0], [0.0, 8.0]], resolution=0.1,
+    ).astype(np.float32)
+    out2 = run_tracking_experiment(cfg, sp, cp, smooth, num_steps=200)
+    assert out2["metrics"]["rmse"] < 0.2, out2["metrics"]
