@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ccv_mppi_path_tracker_tpu.core.config import CostParams, SolverConfig, SolverParams
+from ccv_mppi_path_tracker_tpu.core.random import next_cycle_key, shard_key
 from ccv_mppi_path_tracker_tpu.core.types import ControllerState, StepResult
 from ccv_mppi_path_tracker_tpu.models.registry import get_model
 from ccv_mppi_path_tracker_tpu.ops.costs import trajectory_costs
@@ -82,9 +83,9 @@ def mppi_step(
         model_params = model.default_params
     k_local = num_samples if num_samples is not None else cfg.num_samples
 
-    carry_key, use_key = jax.random.split(ctrl.key)
+    carry_key, use_key = next_cycle_key(ctrl.key)
     if axis_name is not None:
-        use_key = jax.random.fold_in(use_key, jax.lax.axis_index(axis_name))
+        use_key = shard_key(use_key, axis_name)
 
     ref = resample_reference(path, state[:2], cp.v_ref, dt, cfg.horizon)
 
