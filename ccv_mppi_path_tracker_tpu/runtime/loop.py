@@ -136,17 +136,23 @@ def run_tracking_experiment(
     start_on_course: bool = True,
     dtype=np.float32,
     use_kernel: bool = False,
+    resolution: float = 0.1,
 ):
     """Run a full tracking experiment via the fused scan; return logs + metrics.
 
     The start pose defaults to the first course point, aligned with the
     initial course heading (the reference spawns the robot on the course in
-    its Gazebo worlds).
+    its Gazebo worlds). ``resolution`` is the course generator's sample
+    parameter (the reference's ``resolution`` ROS param, 0.1 by default for
+    every course here) — it sets the reference-window stride, NOT the arc
+    length; pass None to infer the median segment length instead.
     """
     from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
 
     model = get_model(cfg.model)
-    path = PathBuffer.from_points(course, _infer_resolution(course), dtype=dtype)
+    if resolution is None:
+        resolution = _infer_resolution(course)
+    path = PathBuffer.from_points(course, resolution, dtype=dtype)
     state0 = np.zeros(model.num_states, dtype)
     if start_on_course:
         state0[0], state0[1] = course[0]
