@@ -153,11 +153,16 @@ def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
     if not refine_steps:
         return u_opt
     from ccv_mppi_path_tracker_tpu.diff.gradients import gradient_refine
+    from ccv_mppi_path_tracker_tpu.ops.sampling import STEER_DIM
 
-    return gradient_refine(
+    u_opt = gradient_refine(
         cfg, u_opt, state, ref, dt, sp, cp, model_params=model_params,
         step_size=refine_step_size, num_steps=refine_steps,
     )
+    if cfg.steer_off:
+        # the gradient has no reason to keep the disabled channel at zero
+        u_opt = u_opt.at[:, STEER_DIM].set(0.0)
+    return u_opt
 
 
 def _kernel_sample_rollout_cost(

@@ -51,3 +51,23 @@ def test_large_horizon_sharded_sweep():
     assert res.u_opt.shape == (99, 2)
     assert np.isfinite(np.asarray(res.u_opt)).all()
     assert 1.0 <= float(res.stats["ess"]) <= 8192.0
+
+
+def test_refine_preserves_steer_off():
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.core.config import SolverConfig
+
+    cfg, sp, cp, course = full_body_launch(num_samples=64, horizon=10,
+                                           dtype=np.float64)
+    cfg = SolverConfig(model=cfg.model, num_samples=64, horizon=10,
+                       steer_off=True)
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float64)
+    ctrl = ControllerState(
+        u_prev=jnp.zeros((9, 5), jnp.float64),
+        key=jax.random.PRNGKey(0),
+        step=jnp.zeros((), jnp.int32),
+    )
+    state = jnp.zeros(5, jnp.float64).at[1].set(course[0, 1])
+    _, res = mppi_step(cfg, ctrl, state, path, jnp.asarray(0.1, jnp.float64),
+                       sp, cp, refine_steps=5)
+    np.testing.assert_array_equal(np.asarray(res.u_opt[:, 2]), 0.0)
