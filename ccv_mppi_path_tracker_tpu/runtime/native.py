@@ -134,7 +134,14 @@ class RateExecutor:
 
 
 class SpscRing:
-    """Latest-wins ring of float64 records of fixed length."""
+    """Latest-wins ring of float64 records of fixed length.
+
+    Strictly single-producer/single-consumer. When the ring is full the
+    producer drops the oldest unread record (queue_size=1 topic semantics);
+    a consumer popping concurrently with an overwrite of the same slot can
+    observe a dropped record — size the capacity above the expected burst if
+    every record matters, or use :meth:`latest` (the control-loop pattern),
+    which only ever reads the newest slot."""
 
     def __init__(self, capacity: int, record_len: int):
         self._lib = load_library()
