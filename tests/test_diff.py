@@ -120,3 +120,18 @@ def test_system_id_data_parallel_matches_single():
     np.testing.assert_allclose(
         np.asarray(dist.gains), np.asarray(single.gains), rtol=1e-6
     )
+
+
+def test_gradient_through_long_horizon():
+    """d(cost)/d(controls) stays finite and correct-shaped at T=100."""
+    from ccv_mppi_path_tracker_tpu.core.config import diff_drive_config
+
+    cfg, sp, cp = diff_drive_config(num_samples=4, horizon=100, dtype=np.float64)
+    cost_fn = make_trajectory_cost(cfg)
+    ref = _ref_window(100)
+    u = jnp.zeros((99, 2), jnp.float64).at[:, 0].set(0.5)
+    g = jax.grad(lambda u: cost_fn(u, jnp.zeros(3, jnp.float64), ref, 0.1, cp))(u)
+    assert g.shape == (99, 2)
+    assert np.isfinite(np.asarray(g)).all()
+    # early controls influence more of the trajectory -> larger gradient mass
+    assert float(jnp.abs(g[0]).sum()) > float(jnp.abs(g[-1]).sum())
