@@ -129,9 +129,20 @@ def test_gradient_through_long_horizon():
     cfg, sp, cp = diff_drive_config(num_samples=4, horizon=100, dtype=np.float64)
     cost_fn = make_trajectory_cost(cfg)
     ref = _ref_window(100)
-    u = jnp.zeros((99, 2), jnp.float64).at[:, 0].set(0.5)
-    g = jax.grad(lambda u: cost_fn(u, jnp.zeros(3, jnp.float64), ref, 0.1, cp))(u)
+    # generic controls: avoid rollouts collinear with the reference, where
+    # the min-distance cost has exact ties (non-smooth points where FD and
+    # the subgradient legitimately disagree)
+    rng = np.random.RandomState(7)
+    u = jnp.asarray(0.5 + 0.1 * rng.randn(99, 2))
+    u = u.at[:, 1].set(0.2 * rng.randn(99))
+    f = lambda u: cost_fn(u, jnp.zeros(3, jnp.float64), ref, 0.1, cp)
+    g = jax.grad(f)(u)
     assert g.shape == (99, 2)
     assert np.isfinite(np.asarray(g)).all()
-    # early controls influence more of the trajectory -> larger gradient mass
-    assert float(jnp.abs(g[0]).sum()) > float(jnp.abs(g[-1]).sum())
+    # autodiff through the T=100 scan matches central finite differences
+    eps = 1e-6
+    for t, d in [(0, 0), (0, 1), (50, 0), (98, 0), (98, 1)]:
+        up = u.at[t, d].add(eps)
+        um = u.at[t, d].add(-eps)
+        fd = (float(f(up)) - float(f(um))) / (2 * eps)
+        np.testing.assert_allclose(float(g[t, d]), fd, rtol=1e-4, atol=1e-7)
