@@ -23,7 +23,11 @@ from ccv_mppi_path_tracker_tpu.models.registry import get_model
 from ccv_mppi_path_tracker_tpu.paths.resample import PathBuffer
 from ccv_mppi_path_tracker_tpu.runtime.gating import InputGate
 from ccv_mppi_path_tracker_tpu.runtime.loop import ControlLoop
-from ccv_mppi_path_tracker_tpu.solver.command import command_from_solution
+from ccv_mppi_path_tracker_tpu.solver.command import (
+    MODE_NO_NEED,
+    command_from_solution,
+    steering_mode,
+)
 
 
 def run_realtime_experiment(
@@ -83,6 +87,7 @@ def run_realtime_experiment(
     last_cmd = None
     traj = [np.asarray(state)]
     t = 0.0
+    invalid_steer_cycles = 0
     for _ in range(num_cycles):
         dt = rate.sleep()
         gate.update("pose", state)
@@ -90,6 +95,10 @@ def run_realtime_experiment(
         cmd = command_from_solution(cfg.model, res.u0, dt)
         cmd = gate.resolve_command(cmd, last_cmd if last_cmd is not None else cmd)
         last_cmd = cmd
+        # the reference flags opposite-sign measured steer angles on every
+        # joint-state message (src/steering_diff_drive_mppi.cpp:75-76)
+        if int(steering_mode(cmd.steer_r, cmd.steer_l)) == MODE_NO_NEED:
+            invalid_steer_cycles += 1
         state = plant.step(state, res.u0, jnp.float32(dt))
         traj.append(np.asarray(state))
         t += dt
@@ -108,4 +117,5 @@ def run_realtime_experiment(
         "rate_stats": rate.stats(),
         "logs": {"state": traj},
         "stale_cycles": gate.stale_cycles,
+        "invalid_steer_cycles": invalid_steer_cycles,
     }

@@ -4,6 +4,8 @@ from ccv_mppi_path_tracker_tpu.solver.command import (
     command_from_solution,
     wheel_steer_angles,
     wheel_speeds,
+    steering_mode,
+    STEERING_MODE_NAMES,
 )
 
 __all__ = [
@@ -13,4 +15,6 @@ __all__ = [
     "command_from_solution",
     "wheel_steer_angles",
     "wheel_speeds",
+    "steering_mode",
+    "STEERING_MODE_NAMES",
 ]

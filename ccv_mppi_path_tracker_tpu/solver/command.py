@@ -47,6 +47,40 @@ class WheelSteerCommand:
     rear: jax.Array
 
 
+# Steering-mode codes (steering_mode below). The reference returns strings
+# from check_State (src/steering_diff_drive_mppi.cpp:84-95); integer codes
+# keep the classifier jit-traceable.
+MODE_NO_NEED = 0  # opposite-sign angles ("ha"-shape) — invalid, ROS_ERROR'd
+MODE_NO_STEER = 1  # both ~zero: plain differential drive
+MODE_PARALLEL = 2  # equal nonzero angles: crab motion
+MODE_STEER = 3  # distinct same-sign angles: turning
+STEERING_MODE_NAMES = ("no_need", "no_steer", "parallel", "steer")
+
+
+def steering_mode(steer_r, steer_l, eps=0.1 * jnp.pi / 180.0):
+    """Classify measured wheel steering angles into the reference's modes.
+
+    Mirrors check_State (src/steering_diff_drive_mppi.cpp:84-95), which runs
+    on every joint-state message and flags opposite-sign angles as invalid
+    (:75-76). Same eps (0.1 deg) and branch order; returns an int code
+    (MODE_* above, names in STEERING_MODE_NAMES) so it can run inside jit.
+    """
+    sr = jnp.asarray(steer_r)
+    sl = jnp.asarray(steer_l)
+    no_need = ((sr < 0.0) & (sl > 0.0)) | ((sr > 0.0) & (sl < 0.0))
+    near_equal = jnp.abs(sr - sl) < eps
+    both_zero = (jnp.abs(sr) < eps) & (jnp.abs(sl) < eps)
+    return jnp.where(
+        no_need,
+        MODE_NO_NEED,
+        jnp.where(
+            near_equal,
+            jnp.where(both_zero, MODE_NO_STEER, MODE_PARALLEL),
+            MODE_STEER,
+        ),
+    )
+
+
 def wheel_steer_angles(v, w, direction, tread):
     """(v, w, direction) -> (steer_l, steer_r) via turning-radius geometry."""
     r = jnp.abs(v / w)

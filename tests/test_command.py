@@ -96,3 +96,33 @@ def test_wheel_speeds_steered_split_uses_radii():
     np.testing.assert_allclose(
         (float(wr) + float(wl)) / 2, v / 0.1435, rtol=1e-6
     )
+
+
+def test_steering_mode_classifier_matches_reference_branches():
+    """Same classification as check_State (src/steering_diff_drive_mppi.cpp:84-95)."""
+    import jax
+    from ccv_mppi_path_tracker_tpu.solver.command import (
+        MODE_NO_NEED,
+        MODE_NO_STEER,
+        MODE_PARALLEL,
+        MODE_STEER,
+        STEERING_MODE_NAMES,
+        steering_mode,
+    )
+
+    eps = 0.1 * np.pi / 180.0
+    mode = jax.jit(steering_mode)
+    # opposite signs ("ha"-shape): invalid regardless of magnitude
+    assert int(mode(-0.2, 0.3)) == MODE_NO_NEED
+    assert int(mode(0.2, -0.3)) == MODE_NO_NEED
+    # both within eps of zero: plain diff-drive
+    assert int(mode(eps * 0.5, eps * 0.5)) == MODE_NO_STEER
+    assert int(mode(0.0, 0.0)) == MODE_NO_STEER
+    # equal non-zero angles: parallel (crab) motion
+    assert int(mode(0.3, 0.3 + eps * 0.5)) == MODE_PARALLEL
+    # distinct same-sign angles: steering
+    assert int(mode(0.2, 0.35)) == MODE_STEER
+    # C++ branch order: sign check wins over near-equality at tiny
+    # opposite-sign angles (sr<0 && sl>0 is tested first)
+    assert int(mode(-1e-9, 1e-9)) == MODE_NO_NEED
+    assert STEERING_MODE_NAMES[int(mode(0.2, 0.35))] == "steer"
