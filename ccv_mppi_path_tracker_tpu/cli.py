@@ -32,6 +32,8 @@ def _add_run_args(p):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--record", default=None, help="log dir for CSV output")
     p.add_argument("--plot", default=None, help="save tracking figure to file")
+    p.add_argument("--plot-yaw", default=None,
+                   help="save yaw-vs-path-yaw figure (graph3 layout) to file")
     p.add_argument("--kernel", action="store_true",
                    help="use the fused Pallas kernel path")
 
@@ -61,6 +63,11 @@ def cmd_run(args):
 
         plot_tracking(out, out=args.plot)
         print(f"figure: {args.plot}")
+    if args.plot_yaw:
+        from ccv_mppi_path_tracker_tpu.metrics.plots import plot_yaw_comparison
+
+        plot_yaw_comparison(out, out=args.plot_yaw)
+        print(f"figure: {args.plot_yaw}")
     return 0
 
 

@@ -66,6 +66,45 @@ def plot_tracking(result: dict, out: str = None, label: str = "MPPI"):
     return fig
 
 
+def path_yaw(course):
+    """Central-difference heading along a course (src/graph3.py:26-32).
+
+    First/last points use one-sided differences, interior points the
+    centered arctan2 of the two-point chord, exactly as the script.
+    """
+    c = np.asarray(course)
+    fwd = c[1:] - c[:-1]
+    yaw = np.empty(len(c))
+    yaw[0] = np.arctan2(fwd[0, 1], fwd[0, 0])
+    yaw[-1] = np.arctan2(fwd[-1, 1], fwd[-1, 0])
+    if len(c) > 2:
+        ctr = c[2:] - c[:-2]
+        yaw[1:-1] = np.arctan2(ctr[:, 1], ctr[:, 0])
+    return yaw
+
+
+def plot_yaw_comparison(result: dict, out: str = None, label: str = "MPPI"):
+    """2-panel trajectory + yaw-vs-path-yaw figure (src/graph3.py layout):
+    top X-Y trajectory against the desired path, bottom the robot's yaw and
+    the course heading both plotted against X (:39-59)."""
+    plt = _plt()
+    logs, course = result["logs"], result["course"]
+    states = logs["state"]
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(12, 8))
+    ax1.plot(course[:, 0], course[:, 1], "b--", lw=2, label="Desired Path")
+    ax1.plot(states[:, 0], states[:, 1], "r-", lw=2, label=label)
+    ax1.set_xlabel("X [m]"), ax1.set_ylabel("Y [m]")
+    ax1.legend(loc="lower right"), ax1.grid(True)
+    ax2.plot(course[:, 0], path_yaw(course), "g-", lw=2, label="Path Yaw")
+    ax2.plot(states[:, 0], states[:, 2], "b-", lw=2, label="Yaw")
+    ax2.set_xlabel("X [m]"), ax2.set_ylabel("Yaw [rad]")
+    ax2.legend(loc="lower right"), ax2.grid(True)
+    fig.tight_layout(pad=2.0)
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
 def plot_zmp(t, zmp_y, v=None, roll=None, true_zmp=None, out: str = None):
     """ZMP-y within the +/-band, with optional velocity/roll panels
     (src/zmp_graph.py structure)."""

@@ -108,3 +108,30 @@ def test_plot_square_analysis_and_solver_debug(tmp_path):
     out2 = str(tmp_path / "dbg.png")
     plot_solver_debug(res, course=course, out=out2)
     assert os.path.getsize(out2) > 1000
+
+
+def test_path_yaw_matches_graph3_loop():
+    """path_yaw == the reference script's per-point loop (src/graph3.py:26-32)."""
+    from ccv_mppi_path_tracker_tpu.metrics.plots import path_yaw
+
+    rng = np.random.RandomState(0)
+    c = np.cumsum(rng.rand(20, 2) * 0.3 + 0.05, axis=0)
+    expected = []
+    for i in range(len(c)):
+        if i == 0:
+            expected.append(np.arctan2(c[i+1, 1]-c[i, 1], c[i+1, 0]-c[i, 0]))
+        elif i == len(c) - 1:
+            expected.append(np.arctan2(c[i, 1]-c[i-1, 1], c[i, 0]-c[i-1, 0]))
+        else:
+            expected.append(np.arctan2(c[i+1, 1]-c[i-1, 1], c[i+1, 0]-c[i-1, 0]))
+    np.testing.assert_allclose(path_yaw(c), expected, rtol=1e-12)
+
+
+def test_cli_plot_yaw(tmp_path):
+    fig = str(tmp_path / "yaw.png")
+    rc = main([
+        "run", "--preset", "diff_drive", "--steps", "30",
+        "--num-samples", "64", "--plot-yaw", fig,
+    ])
+    assert rc == 0
+    assert os.path.getsize(fig) > 1000
