@@ -65,6 +65,17 @@ def model_zmp_estimate(roll, pitch, omega, accel, last_hg, dt, params: FullBodyP
     return zmp, hg
 
 
+def rotate_force_to_base(force, rotation):
+    """Rotate a raw sensor-frame force into the robot base frame.
+
+    The reference does this per wrench message with the tf basis matrix of
+    the wheel link (wrenchCallback, src/full_body_mppi.cpp:124-130:
+    ``transform_.getBasis() * force``). ``rotation`` is the (..., 3, 3)
+    sensor->base rotation; ``force`` is (..., 3). Batched over leading dims.
+    """
+    return jnp.einsum("...ij,...j->...i", rotation, force)
+
+
 def true_zmp_from_forces(
     forces,
     prev_zmp,

@@ -187,3 +187,21 @@ def test_control_loop_path_swap_no_recompile():
     res = loop.step(np.zeros(3, np.float32), dt=0.1)
     assert np.isfinite(np.asarray(res.u0)).all()
     assert loop._step._cache_size() == compiles_before
+
+
+def test_rotate_force_to_base_matches_tf_basis():
+    """Sensor->base rotation == tf basis matrix product (wrenchCallback,
+    src/full_body_mppi.cpp:124-130), checked against scipy and batched."""
+    from scipy.spatial.transform import Rotation
+    from ccv_mppi_path_tracker_tpu.runtime.estimation import rotate_force_to_base
+
+    rng = np.random.RandomState(0)
+    rots = Rotation.from_euler("zyx", rng.randn(6, 3)).as_matrix()
+    forces = rng.randn(6, 3)
+    out = rotate_force_to_base(jnp.asarray(forces), jnp.asarray(rots))
+    np.testing.assert_allclose(
+        np.asarray(out), np.einsum("cij,cj->ci", rots, forces), rtol=1e-6
+    )
+    # single (unbatched) call
+    one = rotate_force_to_base(jnp.asarray(forces[0]), jnp.asarray(rots[0]))
+    np.testing.assert_allclose(np.asarray(one), rots[0] @ forces[0], rtol=1e-6)
