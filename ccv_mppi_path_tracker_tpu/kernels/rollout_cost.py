@@ -64,8 +64,13 @@ def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
 _NSCAL = 16
 
 
-def _normals(shape):
-    """Standard normals via Box-Muller over the per-core PRNG."""
+def _normals_pair(shape):
+    """TWO independent standard-normal tiles via Box-Muller.
+
+    One (log1p, sqrt) pair serves both outputs — discarding the sine half
+    would double the transcendental cost of sampling, which rivals the
+    min-distance scan in op count at full-body shapes.
+    """
     def unif():
         bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
         # 23 high bits -> [0, 1). Logical shift as uint32 (arithmetic shift
@@ -78,7 +83,23 @@ def _normals(shape):
     u1 = unif()
     u2 = unif()
     r = jnp.sqrt(-2.0 * jnp.log1p(-u1))  # log1p(-u) avoids log(0)
-    return r * jnp.cos(2.0 * math.pi * u2)
+    theta = 2.0 * math.pi * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _make_normal_stream(shape):
+    """Stateful draw of one normal tile at a time, consuming Box-Muller
+    outputs in pairs (the second half is held over to the next call)."""
+    held = []
+
+    def draw():
+        if held:
+            return held.pop()
+        n1, n2 = _normals_pair(shape)
+        held.append(n2)
+        return n1
+
+    return draw
 
 
 def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
@@ -108,12 +129,14 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         beta = scal[15]
         bscale = jnp.sqrt(1.0 - beta * beta)
         eps_prev = [None] * u_dim
+        if not with_noise_input:
+            draw_normal = _make_normal_stream((_ROWS, _LANES))
         for t in range(tm1):
             for j in range(u_dim):
                 if with_noise_input:
                     eta = noise[t, j]
                 else:
-                    eta = _normals((_ROWS, _LANES))
+                    eta = draw_normal()
                 eps = eta if t == 0 else beta * eps_prev[j] + bscale * eta
                 eps_prev[j] = eps
                 val = uprev[t, j] + sigma[j] * eps
