@@ -1,11 +1,17 @@
-"""Pallas TPU kernel: fused sample + rollout + cost.
+"""Pallas TPU kernel: fused sample + rollout + cost + weighted update.
 
 The XLA pipeline materializes the (T, K, S) rollout and the (T-1, K, U) noise
 in HBM and re-reads them for the cost — at K=100k, T=30 that is ~120 MB of
-HBM traffic per control step. This kernel streams K in 1024-sample tiles held
-entirely in VMEM: controls are clamped in registers, the Euler rollout and the
-O(T*T_ref) min-distance cost run per tile, and only the (K,) cost vector is
-written back. Rollout states never touch HBM.
+HBM traffic per control step (~1.2 GB at K=1M counting the sampled-controls
+round trip for the weighted average). This kernel streams K in tiles held
+entirely in VMEM: controls are clamped in registers, the Euler rollout and
+the O(T*T_ref) min-distance cost run per tile, and the softmax-weighted
+control update is accumulated *online* (running-min baseline with exact
+rescaling, the flash-attention trick applied to MPPI): each grid step folds
+its tile's exp(-(cost - m)/lam)-weighted controls into a (T-1)*U-row
+per-lane partial-sum block, rescaling prior partials when the running min
+improves. Only the (K,) cost vector and that tiny partial block are written
+back; sampled controls and rollout states never touch HBM.
 
 Layouts: samples ride the TPU lane dimension. A tile is (8, 128) = 1024
 samples; the noise input (when supplied — parity mode) is (T-1, U, K/128, 128)
@@ -47,9 +53,11 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
               num_samples: int | None = None) -> int:
-    """Largest tile height whose controls blocks fit the VMEM budget and
+    """Largest tile height whose controls buffers fit the VMEM budget and
     (when given) divides num_samples."""
-    factor = 4 if with_noise_input else 2  # in+out blocks, double buffered
+    # controls live in a single (not double-buffered) VMEM scratch; in parity
+    # mode the noise input block is double-buffered by the pipeline on top.
+    factor = 3 if with_noise_input else 1
     for rows in (64, 32, 16, 8):
         if factor * (horizon - 1) * u_dim * rows * _LANES * 4 > _VMEM_BUDGET:
             continue
@@ -60,8 +68,8 @@ def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
 
 # scalar-param vector layout (SMEM)
 # [dt, v_ref, path_w, v_w, zmp_w, roll_v_w, back_w, yaw_w, yaw_ref0,
-#  mass, base2com, Ixx, Iyy, Izz, gravity_z, noise_beta]
-_NSCAL = 16
+#  mass, base2com, Ixx, Iyy, Izz, gravity_z, noise_beta, lam]
+_NSCAL = 17
 
 
 def _normals_pair(shape):
@@ -111,11 +119,20 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
     def kernel(*refs):
         if with_noise_input:
             (uprev, sigma, umin, umax, ref_xy, state0, scal, seed, noise,
-             cost_out, u_out) = refs
+             cost_out, acc_out, u_out, m_ref) = refs
         else:
             (uprev, sigma, umin, umax, ref_xy, state0, scal, seed,
-             cost_out, u_out) = refs
+             cost_out, acc_out, u_out, m_ref) = refs
             pltpu.prng_seed(seed[0] + pl.program_id(0))
+
+        # Online-softmax state: acc_out rows [0, tm1*u_dim) hold per-lane
+        # partial sums of exp(-(cost - m)/lam) * u[t, j]; the last row holds
+        # the partial normalizer; m_ref (SMEM scratch, persists across the
+        # sequential grid) is the running min cost. Grid step 0 initializes.
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            acc_out[...] = jnp.zeros_like(acc_out)
+            m_ref[0] = jnp.inf
 
         dt = scal[0]
         v_ref = scal[1]
@@ -260,6 +277,35 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
 
         cost_out[...] = cost
 
+        # --- online softmax-weighted update ------------------------------
+        lam = scal[16]
+        tile_min = jnp.min(cost)
+        m_prev = m_ref[0]
+        m_new = jnp.minimum(m_prev, tile_min)
+        m_ref[0] = m_new
+        # exact rescale of prior partials to the improved baseline; on the
+        # first tile m_prev = inf so the factor is exp(-inf) = 0 over zeros.
+        factor = jnp.exp(-(m_prev - m_new) / lam)
+        w = jnp.exp(-(cost - m_new) / lam)
+
+        def part8(x):
+            # (ROWS, LANES) -> (8, LANES) sublane-group partial sums: keeps
+            # every accumulator op a native full (8, 128) vreg op instead of
+            # a masked single-sublane slice.
+            return jnp.sum(x.reshape(_ROWS // 8, 8, _LANES), axis=0)
+
+        nrow = tm1 * u_dim
+        acc_out[8 * nrow:8 * (nrow + 1), :] = (
+            acc_out[8 * nrow:8 * (nrow + 1), :] * factor + part8(w)
+        )
+        for t in range(tm1):
+            for j in range(u_dim):
+                r = t * u_dim + j
+                acc_out[8 * r:8 * (r + 1), :] = (
+                    acc_out[8 * r:8 * (r + 1), :] * factor
+                    + part8(w * u_out[t, j])
+                )
+
     return kernel
 
 
@@ -283,7 +329,11 @@ def fused_sample_rollout_cost(
 
     u_prev: (T-1, U) f32; ref_xy: (T_ref, 2); state0: (S,); scal: (_NSCAL,);
     seed: (1,) int32; noise (optional, parity mode): (T-1, U, K/128, 128).
-    Returns (costs (K,), u_samples (T-1, U, K/128, 128)).
+    Returns (costs (K,), u_partial ((T-1)*U, 8, 128), norm_partial (8, 128)):
+    per-(sublane, lane) partial sums of the softmax-weighted update under the
+    baseline min(costs) — ``u_opt = u_partial.sum((-2, -1)).reshape(T-1, U) /
+    norm_partial.sum()`` on one device; under sample sharding rescale both by
+    exp(-(local_min - global_min)/lam) before the psum.
     """
     assert model in (
         "unicycle", "steering_unicycle", "rate_limited_steering", "full_body"
@@ -320,34 +370,38 @@ def fused_sample_rollout_cost(
     # Under shard_map the outputs are device-varying over the samples axis;
     # the vma annotation is required when check_vma is on.
     vma = frozenset({vma_axis}) if vma_axis is not None else frozenset()
+    acc_rows = 8 * (tm1 * u_dim + 1)
     out_shape = (
         jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct(
-            (tm1, u_dim, rows_total, _LANES), jnp.float32, vma=vma
-        ),
+        jax.ShapeDtypeStruct((acc_rows, _LANES), jnp.float32, vma=vma),
     )
     out_specs = (
         pl.BlockSpec((rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(
-            (tm1, u_dim, rows, _LANES),
-            lambda i: (0, 0, i, 0),
-            memory_space=pltpu.VMEM,
-        ),
+        # constant index map: the accumulator block is revisited (and kept in
+        # VMEM) across the sequential grid
+        pl.BlockSpec((acc_rows, _LANES), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
     )
+    scratch_shapes = [
+        pltpu.VMEM((tm1, u_dim, rows, _LANES), jnp.float32),  # sampled u tile
+        pltpu.SMEM((1,), jnp.float32),  # running min cost
+    ]
 
-    costs, u_tiles = pl.pallas_call(
+    costs, acc = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
-    return costs.reshape(num_samples), u_tiles
+    acc = acc.reshape(tm1 * u_dim + 1, 8, _LANES)
+    return costs.reshape(num_samples), acc[:-1], acc[-1]
 
 
 def pack_scalars(dt, cp, yaw_ref0, model_params=None, noise_beta=0.0,
-                 dtype=jnp.float32):
+                 lam=1.0, dtype=jnp.float32):
     """Build the (_NSCAL,) scalar-parameter vector from the cost/model pytrees."""
     zeros = jnp.zeros((), dtype)
     if model_params is not None:
@@ -364,6 +418,6 @@ def pack_scalars(dt, cp, yaw_ref0, model_params=None, noise_beta=0.0,
     vals = [
         dt, cp.v_ref, cp.path_weight, cp.v_weight, cp.zmp_weight,
         cp.roll_v_weight, cp.back_weight, cp.yaw_weight, yaw_ref0, *mp,
-        noise_beta,
+        noise_beta, lam,
     ]
     return jnp.stack([jnp.asarray(v, dtype) for v in vals])

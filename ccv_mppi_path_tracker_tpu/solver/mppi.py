@@ -90,17 +90,24 @@ def mppi_step(
     ref = resample_reference(path, state[:2], cp.v_ref, dt, cfg.horizon)
 
     if use_kernel:
-        costs, u_samples = _kernel_sample_rollout_cost(
+        costs, u_rows, s_row = _kernel_sample_rollout_cost(
             cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise,
             k_local, kernel_interpret, axis_name,
         )
-        weights, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
-        # u_samples is (T-1, U, K) tile layout; contract K on the MXU.
-        u_opt = jnp.einsum(
-            "k,tuk->tu", weights, u_samples, preferred_element_type=u_samples.dtype
+        _, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
+        # The kernel accumulated the weighted update online under the local
+        # min-cost baseline; finish the per-lane partial sums here. Under
+        # sample sharding, rescale to the global (pmin) baseline — exact
+        # algebra, same result as the XLA path.
+        u_num = jnp.sum(u_rows, axis=(-2, -1)).reshape(
+            cfg.horizon - 1, ctrl.u_prev.shape[1]
         )
+        norm = jnp.sum(s_row)
         if axis_name is not None:
-            u_opt = jax.lax.psum(u_opt, axis_name)
+            rescale = jnp.exp(-(jnp.min(costs) - stats["min_cost"]) / sp.lam)
+            u_num = jax.lax.psum(u_num * rescale, axis_name)
+            norm = jax.lax.psum(norm * rescale, axis_name)
+        u_opt = u_num / norm
         u_opt = _maybe_refine(
             cfg, u_opt, state, ref, dt, sp, cp, model_params,
             refine_steps, refine_step_size,
@@ -169,7 +176,8 @@ def _kernel_sample_rollout_cost(
     cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
     kernel_interpret, axis_name=None,
 ):
-    """Bridge the fused Pallas kernel into the step (costs + (T-1,U,K) u)."""
+    """Bridge the fused Pallas kernel into the step: returns (costs,
+    per-lane weighted-update partials, per-lane normalizer partials)."""
     from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
         fused_sample_rollout_cost,
         pack_scalars,
@@ -180,14 +188,15 @@ def _kernel_sample_rollout_cost(
     tm1 = cfg.horizon - 1
     u_dim = ctrl.u_prev.shape[1]
     mp = model_params if cfg.model == "full_body" else None
-    scal = pack_scalars(dt, cp, ref.yaw[0], mp, noise_beta=sp.noise_beta)
+    scal = pack_scalars(dt, cp, ref.yaw[0], mp, noise_beta=sp.noise_beta,
+                        lam=sp.lam)
     seed = jax.random.randint(use_key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     if noise is not None:
         # (T-1, K, U) -> tile layout (T-1, U, K/128, 128)
         noise = jnp.transpose(noise, (0, 2, 1)).reshape(
             tm1, u_dim, k_local // 128, 128
         )
-    costs, u_tiles = fused_sample_rollout_cost(
+    costs, u_rows, s_row = fused_sample_rollout_cost(
         ctrl.u_prev,
         sp.control_noise,
         sp.u_min,
@@ -203,8 +212,7 @@ def _kernel_sample_rollout_cost(
         interpret=kernel_interpret,
         vma_axis=axis_name,
     )
-    u_samples = u_tiles.reshape(tm1, u_dim, k_local)
-    return costs, u_samples
+    return costs, u_rows, s_row
 
 
 class MPPISolver:
