@@ -111,7 +111,8 @@ def _make_normal_stream(shape):
 
 
 def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
-                 with_noise_input: bool, steer_off: bool, rows: int):
+                 with_noise_input: bool, steer_off: bool, rows: int,
+                 batched: bool = False):
     tm1 = horizon - 1
     cap2 = DIST_CAP * DIST_CAP
     _ROWS = rows
@@ -123,19 +124,50 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         else:
             (uprev, sigma, umin, umax, ref_xy, state0, scal, seed,
              cost_out, acc_out, u_out, m_ref) = refs
-            pltpu.prng_seed(seed[0] + pl.program_id(0))
 
-        # Online-softmax state: acc_out rows [0, tm1*u_dim) hold per-lane
-        # partial sums of exp(-(cost - m)/lam) * u[t, j]; the last row holds
-        # the partial normalizer; m_ref (SMEM scratch, persists across the
-        # sequential grid) is the running min cost. Grid step 0 initializes.
-        @pl.when(pl.program_id(0) == 0)
+        # Fleet (batched) mode: grid is (B, k_tiles); per-robot inputs are
+        # SMEM *blocks* selected by the robot grid index (full (B, ...)
+        # arrays overflow the 1 MB SMEM at fleet sizes), outputs are blocked
+        # per robot. Single-robot mode: 1-D grid over k tiles.
+        if batched:
+            kidx = pl.program_id(1)
+            up = lambda t, j: uprev[0, t, j]
+            refp = lambda j, c: ref_xy[0, j, c]
+            st = lambda k: state0[0, 0, k]
+            sc = lambda i: scal[0, 0, i]
+            seed0 = seed[0, 0, 0]
+            nz = (lambda t, j: noise[0, t, j]) if with_noise_input else None
+            co = cost_out.at[0]
+            accv = acc_out.at[0]
+        else:
+            kidx = pl.program_id(0)
+            up = lambda t, j: uprev[t, j]
+            refp = lambda j, c: ref_xy[j, c]
+            st = lambda k: state0[k]
+            sc = lambda i: scal[i]
+            seed0 = seed[0]
+            nz = (lambda t, j: noise[t, j]) if with_noise_input else None
+            co = cost_out
+            accv = acc_out
+
+        if not with_noise_input:
+            pltpu.prng_seed(seed0 + kidx)
+
+        # Online-softmax state: acc rows [0, tm1*u_dim) hold per-(sublane,
+        # lane) partial sums of exp(-(cost - m)/lam) * u[t, j]; the last row
+        # group holds the partial normalizer; m_ref (SMEM scratch, persists
+        # across the sequential grid) is the running min cost. The first k
+        # tile of each robot initializes (the acc block is revisited across
+        # k tiles and swapped per robot).
+        @pl.when(kidx == 0)
         def _init():
-            acc_out[...] = jnp.zeros_like(acc_out)
+            accv[...] = jnp.zeros(
+                (8 * (tm1 * u_dim + 1), _LANES), jnp.float32
+            )
             m_ref[0] = jnp.inf
 
-        dt = scal[0]
-        v_ref = scal[1]
+        dt = sc(0)
+        v_ref = sc(1)
 
         # --- sample controls for the whole tile ---------------------------
         # Written straight to the u_out VMEM block and read back per rollout
@@ -143,7 +175,7 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         # register allocation explode at T=30+. Exploration noise is
         # optionally colored over the horizon (ops/sampling.py color_noise);
         # beta=0 is bit-exact white noise.
-        beta = scal[15]
+        beta = sc(15)
         bscale = jnp.sqrt(1.0 - beta * beta)
         eps_prev = [None] * u_dim
         if not with_noise_input:
@@ -151,29 +183,29 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         for t in range(tm1):
             for j in range(u_dim):
                 if with_noise_input:
-                    eta = noise[t, j]
+                    eta = nz(t, j)
                 else:
                     eta = draw_normal()
                 eps = eta if t == 0 else beta * eps_prev[j] + bscale * eta
                 eps_prev[j] = eps
-                val = uprev[t, j] + sigma[j] * eps
+                val = up(t, j) + sigma[j] * eps
                 val = jnp.clip(val, umin[j], umax[j])
                 if steer_off and j == 2:
                     val = jnp.zeros_like(val)
                 u_out[t, j] = val
 
         # --- rollout + cost ----------------------------------------------
-        x = jnp.full((_ROWS, _LANES), state0[0])
-        y = jnp.full((_ROWS, _LANES), state0[1])
-        yaw = jnp.full((_ROWS, _LANES), state0[2])
+        x = jnp.full((_ROWS, _LANES), st(0))
+        y = jnp.full((_ROWS, _LANES), st(1))
+        yaw = jnp.full((_ROWS, _LANES), st(2))
         cost = jnp.zeros((_ROWS, _LANES), jnp.float32)
 
         def path_d2(xv, yv):
             # fori_loop keeps the kernel program small at large T*T_ref
             # (unrolled this is the dominant op count).
             def body(j, d2):
-                dx = xv - ref_xy[j, 0]
-                dy = yv - ref_xy[j, 1]
+                dx = xv - refp(j, 0)
+                dy = yv - refp(j, 1)
                 return jnp.minimum(d2, dx * dx + dy * dy)
 
             init = jnp.full((_ROWS, _LANES), cap2)
@@ -188,15 +220,15 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 STEER_MAX,
             )
 
-            steer = jnp.full((_ROWS, _LANES), state0[3])
+            steer = jnp.full((_ROWS, _LANES), st(3))
 
             def rl_body(t, carry):
                 x, y, yaw, steer, cost = carry
-                cost += scal[2] * path_d2(x, y)
+                cost += sc(2) * path_d2(x, y)
                 v, w = u_out[t, 0], u_out[t, 1]
                 rate = jnp.clip(u_out[t, 2], -RATE_MAX, RATE_MAX)
                 dv = v - v_ref
-                cost += scal[3] * dv * dv
+                cost += sc(3) * dv * dv
                 heading = yaw + steer
                 x = x + v * jnp.cos(heading) * dt
                 y = y + v * jnp.sin(heading) * dt
@@ -207,16 +239,16 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             x, y, yaw, steer, cost = jax.lax.fori_loop(
                 0, tm1, rl_body, (x, y, yaw, steer, cost)
             )
-            cost += scal[2] * path_d2(x, y)  # final state's path term
+            cost += sc(2) * path_d2(x, y)  # final state's path term
         elif model in ("unicycle", "steering_unicycle"):
             # path term over all T states, velocity term over T-1 controls
             # (ops/costs.py tracking_cost)
             def step_body(t, carry):
                 x, y, yaw, cost = carry
-                cost += scal[2] * path_d2(x, y)
+                cost += sc(2) * path_d2(x, y)
                 v, w = u_out[t, 0], u_out[t, 1]
                 dv = v - v_ref
-                cost += scal[3] * dv * dv
+                cost += sc(3) * dv * dv
                 heading = yaw if model == "unicycle" else yaw + u_out[t, 2]
                 x = x + v * jnp.cos(heading) * dt
                 y = y + v * jnp.sin(heading) * dt
@@ -226,26 +258,26 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             x, y, yaw, cost = jax.lax.fori_loop(
                 0, tm1, step_body, (x, y, yaw, cost)
             )
-            cost += scal[2] * path_d2(x, y)  # final state's path term
+            cost += sc(2) * path_d2(x, y)  # final state's path term
         else:  # full_body (ops/costs.py full_body_cost)
-            roll = jnp.full((_ROWS, _LANES), state0[3])
-            pitch = jnp.full((_ROWS, _LANES), state0[4])
-            mass, c = scal[9], scal[10]
-            ixx = scal[11]
-            gz = scal[14]
-            dyaw0 = yaw - scal[8]
-            cost += scal[7] * dyaw0 * dyaw0
+            roll = jnp.full((_ROWS, _LANES), st(3))
+            pitch = jnp.full((_ROWS, _LANES), st(4))
+            mass, c = sc(9), sc(10)
+            ixx = sc(11)
+            gz = sc(14)
+            dyaw0 = yaw - sc(8)
+            cost += sc(7) * dyaw0 * dyaw0
 
             def fb_body(t, carry):
                 x, y, yaw, roll, pitch, cost = carry
-                cost += scal[2] * path_d2(x, y)
+                cost += sc(2) * path_d2(x, y)
                 v, w, direc = u_out[t, 0], u_out[t, 1], u_out[t, 2]
                 roll_v, pitch_v = u_out[t, 3], u_out[t, 4]
                 dv = v - v_ref
-                cost += scal[3] * dv * dv
+                cost += sc(3) * dv * dv
                 droll_v = u_out[t + 1, 3] - roll_v
-                cost += scal[5] * droll_v * droll_v
-                cost += scal[6] * jnp.where(v < 0.0, v * v, 0.0)
+                cost += sc(5) * droll_v * droll_v
+                cost += sc(6) * jnp.where(v < 0.0, v * v, 0.0)
                 # ZMP chain (models/full_body.py zmp_chain)
                 da = (u_out[t + 1, 0] - v) / dt
                 ac = v * w
@@ -259,7 +291,7 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 by = -mass * ay
                 mo_x = com_y * bz - com_z * by - hgx
                 zmp_y = mo_x / bz
-                cost += scal[4] * zmp_y * zmp_y
+                cost += sc(4) * zmp_y * zmp_y
                 # Euler step (runs for every t in [0, T-3]; states at T-2 and
                 # T-1 are never read by the cost)
                 heading = yaw + direc
@@ -275,10 +307,10 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             )
             cost = out[5]
 
-        cost_out[...] = cost
+        co[...] = cost
 
         # --- online softmax-weighted update ------------------------------
-        lam = scal[16]
+        lam = sc(16)
         tile_min = jnp.min(cost)
         m_prev = m_ref[0]
         m_new = jnp.minimum(m_prev, tile_min)
@@ -295,14 +327,14 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             return jnp.sum(x.reshape(_ROWS // 8, 8, _LANES), axis=0)
 
         nrow = tm1 * u_dim
-        acc_out[8 * nrow:8 * (nrow + 1), :] = (
-            acc_out[8 * nrow:8 * (nrow + 1), :] * factor + part8(w)
+        accv[8 * nrow:8 * (nrow + 1), :] = (
+            accv[8 * nrow:8 * (nrow + 1), :] * factor + part8(w)
         )
         for t in range(tm1):
             for j in range(u_dim):
                 r = t * u_dim + j
-                acc_out[8 * r:8 * (r + 1), :] = (
-                    acc_out[8 * r:8 * (r + 1), :] * factor
+                accv[8 * r:8 * (r + 1), :] = (
+                    accv[8 * r:8 * (r + 1), :] * factor
                     + part8(w * u_out[t, j])
                 )
 
@@ -338,50 +370,103 @@ def fused_sample_rollout_cost(
     assert model in (
         "unicycle", "steering_unicycle", "rate_limited_steering", "full_body"
     ), f"fused kernel does not implement model {model!r}; use the XLA path"
-    tm1, u_dim = u_prev.shape
+    batched = u_prev.ndim == 3
+    if batched:
+        B, tm1, u_dim = u_prev.shape
+    else:
+        tm1, u_dim = u_prev.shape
     horizon = tm1 + 1
-    num_ref = ref_xy.shape[0]
+    num_ref = ref_xy.shape[-2]
     rows = tile_rows(horizon, u_dim, noise is not None, num_samples)
     tile = rows * _LANES
     assert num_samples % tile == 0, (
         f"K={num_samples} must be a multiple of the kernel tile {tile} "
         f"(horizon {horizon})"
     )
-    grid = num_samples // tile
+    grid_k = num_samples // tile
     rows_total = num_samples // _LANES
 
     kernel = _make_kernel(
-        model, horizon, num_ref, u_dim, noise is not None, steer_off, rows
+        model, horizon, num_ref, u_dim, noise is not None, steer_off, rows,
+        batched=batched,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
-    in_specs = [smem(), smem(), smem(), smem(), smem(), smem(), smem(), smem()]
+    if batched:
+        # per-robot SMEM blocks: leading robot axis blocked to 1, per-robot
+        # shape kept in the last dims (Mosaic requires the last two block
+        # dims to equal the array's). 2-D per-robot arrays gain a singleton
+        # middle axis for the same reason.
+        state0 = state0[:, None, :]
+        scal = scal[:, None, :]
+        seed = seed.reshape(-1, 1, 1)
+        sblk = lambda shape: pl.BlockSpec(
+            (1,) + shape, lambda b, i: (b,) + (0,) * len(shape),
+            memory_space=pltpu.SMEM,
+        )
+        in_specs = [
+            sblk((tm1, u_dim)),          # u_prev
+            smem(), smem(), smem(),      # sigma, u_min, u_max (shared)
+            sblk((num_ref, 2)),          # ref_xy
+            sblk((1, state0.shape[-1])), # state0
+            sblk((1, _NSCAL)),           # scal
+            sblk((1, 1)),                # seed
+        ]
+    else:
+        in_specs = [smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+                    smem()]
     inputs = [u_prev, sigma, u_min, u_max, ref_xy, state0, scal, seed]
     if noise is not None:
-        in_specs.append(
-            pl.BlockSpec(
-                (tm1, u_dim, rows, _LANES),
-                lambda i: (0, 0, i, 0),
-                memory_space=pltpu.VMEM,
+        if batched:
+            in_specs.append(
+                pl.BlockSpec(
+                    (1, tm1, u_dim, rows, _LANES),
+                    lambda b, i: (b, 0, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
             )
-        )
+        else:
+            in_specs.append(
+                pl.BlockSpec(
+                    (tm1, u_dim, rows, _LANES),
+                    lambda i: (0, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            )
         inputs.append(noise)
 
     # Under shard_map the outputs are device-varying over the samples axis;
     # the vma annotation is required when check_vma is on.
     vma = frozenset({vma_axis}) if vma_axis is not None else frozenset()
     acc_rows = 8 * (tm1 * u_dim + 1)
-    out_shape = (
-        jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct((acc_rows, _LANES), jnp.float32, vma=vma),
-    )
-    out_specs = (
-        pl.BlockSpec((rows, _LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        # constant index map: the accumulator block is revisited (and kept in
-        # VMEM) across the sequential grid
-        pl.BlockSpec((acc_rows, _LANES), lambda i: (0, 0),
-                     memory_space=pltpu.VMEM),
-    )
+    if batched:
+        grid = (B, grid_k)
+        out_shape = (
+            jax.ShapeDtypeStruct((B, rows_total, _LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((B, acc_rows, _LANES), jnp.float32, vma=vma),
+        )
+        out_specs = (
+            pl.BlockSpec((1, rows, _LANES), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            # constant k index: each robot's accumulator block is revisited
+            # across its k tiles (k is the innermost grid axis)
+            pl.BlockSpec((1, acc_rows, _LANES), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+    else:
+        grid = (grid_k,)
+        out_shape = (
+            jax.ShapeDtypeStruct((rows_total, _LANES), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((acc_rows, _LANES), jnp.float32, vma=vma),
+        )
+        out_specs = (
+            pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # constant index map: the accumulator block is revisited (and
+            # kept in VMEM) across the sequential grid
+            pl.BlockSpec((acc_rows, _LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        )
     scratch_shapes = [
         pltpu.VMEM((tm1, u_dim, rows, _LANES), jnp.float32),  # sampled u tile
         pltpu.SMEM((1,), jnp.float32),  # running min cost
@@ -389,13 +474,16 @@ def fused_sample_rollout_cost(
 
     costs, acc = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
+    if batched:
+        acc = acc.reshape(B, tm1 * u_dim + 1, 8, _LANES)
+        return costs.reshape(B, num_samples), acc[:, :-1], acc[:, -1]
     acc = acc.reshape(tm1 * u_dim + 1, 8, _LANES)
     return costs.reshape(num_samples), acc[:-1], acc[-1]
 

@@ -98,10 +98,11 @@ def main():
 # Hand-maintained sections re-emitted on regeneration (fleet numbers from
 # solver/batch.py runs; scaling analysis — single-chip hardware only here).
 EXTRA_SECTIONS = """
-Fleet-scale batched control (`solver/batch.py`, vmapped XLA path,
-diff-drive K=1024 T=15 per robot): 256-robot fleet tick in 1.96 ms =
-130,834 complete MPPI robot-updates/s; 1024-robot fleet in 10.4 ms =
-98,294 robot-updates/s.
+Fleet-scale batched control (`solver/batch.py`, diff-drive K=1024 T=15 per
+robot, B=256): vmapped XLA path 1.79 ms/tick = 142,984 robot-updates/s;
+natively-batched kernel (`build_fleet_step(use_kernel=True)`, one Pallas
+launch with a robots x sample-tiles grid) 1.37 ms/tick = 187,182
+robot-updates/s.
 
 ## Multi-chip scaling (analysis; single-chip hardware only in this container)
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
 from ccv_mppi_path_tracker_tpu.models import get_model
@@ -48,3 +49,29 @@ def test_fleet_closed_loop_converges_to_course():
     )
     assert np.all(d < 0.3), d
     assert np.all(final[:, 0] > 2.0)
+
+
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="fleet kernel mode draws in-kernel RNG (pltpu.prng_seed, TPU-only)",
+)
+def test_fleet_kernel_step_runs_and_converges():
+    """Natively-batched kernel fleet: one launch for B robots; converges in
+    closed loop. (vmap of pallas_call does not lower on TPU, so the kernel
+    carries the robot grid axis itself — tests/test_kernel.py checks batched
+    parity against per-robot calls with injected noise.)"""
+    B, K, T = 8, 2048, 10
+    cfg, sp, cp, course = diff_drive_launch(num_samples=K, horizon=T)
+    path = PathBuffer.from_points(course, 0.1)
+    states = jnp.zeros((B, 3), jnp.float32).at[:, 1].set(float(course[0, 1]))
+    dt = jnp.float32(0.1)
+    step = build_fleet_step(cfg, use_kernel=True)
+    plant = jax.jit(jax.vmap(lambda s, u: get_model(cfg.model).step(s, u, dt)))
+    ctrls = init_fleet(cfg, B)
+    for _ in range(40):
+        ctrls, res = step(ctrls, states, path, dt, sp, cp)
+        states = plant(states, res.u0)
+    xy = np.asarray(states)
+    err = np.abs(xy[:, 1] - np.interp(xy[:, 0], course[:, 0], course[:, 1]))
+    assert np.isfinite(xy).all()
+    assert float(err.mean()) < 0.3

@@ -123,3 +123,41 @@ def test_kernel_rate_limited_matches_xla():
                      use_kernel=True, kernel_interpret=True)
     np.testing.assert_allclose(np.asarray(b.u_opt), np.asarray(a.u_opt),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_batched_kernel_matches_per_robot_loop():
+    """Fleet (batched) kernel mode == per-robot single calls, injected noise."""
+    from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
+        fused_sample_rollout_cost,
+        pack_scalars,
+    )
+
+    B, Kb, Tb = 3, 2048, 8
+    cfg, sp, cp, course = diff_drive_launch(num_samples=Kb, horizon=Tb)
+    rng = np.random.RandomState(0)
+    u_prev = jnp.asarray(rng.randn(B, Tb - 1, 2) * 0.1, jnp.float32)
+    ref = jnp.asarray(rng.randn(B, Tb, 2), jnp.float32)
+    state0 = jnp.asarray(rng.randn(B, 3), jnp.float32)
+    scal = jnp.stack([
+        pack_scalars(jnp.float32(0.1), cp, float(b), lam=sp.lam)
+        for b in range(B)
+    ])
+    seeds = jnp.arange(B, dtype=jnp.int32)
+    noise = jnp.asarray(
+        rng.randn(B, Tb - 1, 2, Kb // 128, 128), jnp.float32
+    )
+
+    cv, uv, sv = fused_sample_rollout_cost(
+        u_prev, sp.control_noise, sp.u_min, sp.u_max, ref, state0, scal,
+        seeds, num_samples=Kb, model="unicycle", noise=noise, interpret=True,
+    )
+    assert cv.shape == (B, Kb)
+    for b in range(B):
+        c, u, s = fused_sample_rollout_cost(
+            u_prev[b], sp.control_noise, sp.u_min, sp.u_max, ref[b],
+            state0[b], scal[b], seeds[b:b + 1], num_samples=Kb,
+            model="unicycle", noise=noise[b], interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(cv[b]), np.asarray(c), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(uv[b]), np.asarray(u), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(sv[b]), np.asarray(s), rtol=1e-6)
