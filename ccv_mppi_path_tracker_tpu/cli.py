@@ -3,6 +3,7 @@
     python -m ccv_mppi_path_tracker_tpu run --preset full_body --steps 200
     python -m ccv_mppi_path_tracker_tpu run --preset diff_drive --record log/ --plot out.png
     python -m ccv_mppi_path_tracker_tpu compare --preset diff_drive
+    python -m ccv_mppi_path_tracker_tpu fleet --robots 256 --kernel
     python -m ccv_mppi_path_tracker_tpu course --kind dkan --out course.csv
     python -m ccv_mppi_path_tracker_tpu sysid
 
@@ -212,6 +213,55 @@ def cmd_sysid(args):
     return 0
 
 
+def cmd_fleet(args):
+    """Fleet serving demo: B robots per jitted tick on one chip."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
+    from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver.batch import (
+        build_fleet_step,
+        init_fleet,
+    )
+
+    kwargs = {"horizon": args.horizon}
+    if args.num_samples:
+        kwargs["num_samples"] = args.num_samples
+    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    path = PathBuffer.from_points(course, 0.1)
+    model = get_model(cfg.model)
+    B = args.robots
+    states = jnp.zeros((B, model.num_states), jnp.float32)
+    states = states.at[:, 1].set(float(course[0, 1]))
+    dt = jnp.float32(args.dt)
+    step = build_fleet_step(cfg, use_kernel=args.kernel)
+    plant = jax.jit(jax.vmap(lambda s, u: model.step(s, u, dt)))
+    ctrls = init_fleet(cfg, B, seed=args.seed)
+    traj = [np.asarray(states)]
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        ctrls, res = step(ctrls, states, path, dt, sp, cp)
+        states = plant(states, res.u0)
+        traj.append(np.asarray(states))
+    wall = time.perf_counter() - t0
+    traj = np.stack(traj)  # (steps+1, B, S)
+    rmses = [
+        tracking_metrics(traj[:, b, :2], course, dt=args.dt)["rmse"]
+        for b in range(B)
+    ]
+    print(f"fleet: {B} robots x K={cfg.num_samples}, {args.steps} ticks, "
+          f"{'kernel' if args.kernel else 'xla'} path")
+    print(f"RMSE mean={np.mean(rmses):.3f} worst={np.max(rmses):.3f}")
+    print(f"wall: {wall:.2f} s = {B * args.steps / wall:,.0f} robot-updates/s "
+          f"(host-loop; see BENCH_DETAIL.md for device-rate numbers)")
+    return 0
+
+
 def main(argv=None):
     from ccv_mppi_path_tracker_tpu.utils import enable_compile_cache
 
@@ -248,6 +298,11 @@ def main(argv=None):
     _add_run_args(prt)
     prt.add_argument("--hz", type=float, default=10.0)
     prt.set_defaults(fn=cmd_realtime)
+
+    pf = sub.add_parser("fleet", help="batched multi-robot serving demo")
+    _add_run_args(pf)
+    pf.add_argument("--robots", type=int, default=64)
+    pf.set_defaults(fn=cmd_fleet)
 
     pe = sub.add_parser("export", help="serialize the compiled control step")
     _add_run_args(pe)

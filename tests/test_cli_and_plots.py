@@ -135,3 +135,13 @@ def test_cli_plot_yaw(tmp_path):
     ])
     assert rc == 0
     assert os.path.getsize(fig) > 1000
+
+
+def test_cli_fleet(capsys):
+    rc = main([
+        "fleet", "--preset", "diff_drive", "--steps", "20",
+        "--num-samples", "128", "--robots", "4",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "robot-updates/s" in out and "RMSE mean=" in out
