@@ -13,9 +13,9 @@ per-lane partial-sum block, rescaling prior partials when the running min
 improves. Only the (K,) cost vector and that tiny partial block are written
 back; sampled controls and rollout states never touch HBM.
 
-Layouts: samples ride the TPU lane dimension. A tile is (8, 128) = 1024
-samples; the noise input (when supplied — parity mode) is (T-1, U, K/128, 128)
-so each (t, u) slice loads as native (8, 128) vregs. In RNG mode the kernel
+Layouts: samples ride the TPU lane dimension. A tile is (rows, 128) with
+rows <= 64 (tile_rows()); the noise input (when supplied — parity mode) is
+(T-1, U, K/128, 128) so each (t, u) slice loads as native (8, 128) vregs. In RNG mode the kernel
 draws its own normals with the per-core PRNG (Box-Muller over
 ``pltpu.prng_random_bits``), eliminating the noise tensor from HBM entirely;
 the stream is seeded per tile so results are deterministic for a given seed
@@ -43,11 +43,12 @@ from ccv_mppi_path_tracker_tpu.ops.mindist import DIST_CAP
 # Samples per kernel program: up to a (64, 128) tile = 8192 samples. Taller
 # tiles amortize the t-loop / ref-loop control overhead over more vector
 # registers (8 rows measured ~2x slower at large K), but the (T-1, U, rows,
-# 128) controls block must fit VMEM with double buffering, so the tile height
-# shrinks automatically at large horizons (see tile_rows()).
+# 128) controls scratch must fit VMEM, so the tile height shrinks
+# automatically at large horizons (see tile_rows()).
 K_TILE = 8192
 _LANES = 128
-# VMEM budget for the double-buffered controls blocks (chip VMEM is 16 MB).
+# VMEM budget for the controls scratch (+ double-buffered noise input block
+# in parity mode); chip VMEM is 16 MB.
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
@@ -170,9 +171,9 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         v_ref = sc(1)
 
         # --- sample controls for the whole tile ---------------------------
-        # Written straight to the u_out VMEM block and read back per rollout
-        # step — keeping all (T-1)*U tiles live as SSA values makes Mosaic's
-        # register allocation explode at T=30+. Exploration noise is
+        # Written straight to the u_out VMEM scratch and read back per
+        # rollout step — keeping all (T-1)*U tiles live as SSA values makes
+        # Mosaic's register allocation explode at T=30+. Exploration noise is
         # optionally colored over the horizon (ops/sampling.py color_noise);
         # beta=0 is bit-exact white noise.
         beta = sc(15)
