@@ -3,13 +3,11 @@
 import os
 
 import numpy as np
-import pytest
 
 from ccv_mppi_path_tracker_tpu.cli import main
 from ccv_mppi_path_tracker_tpu.metrics.plots import (
     feasible_region_points,
     plot_feasible_region,
-    plot_tracking,
 )
 from ccv_mppi_path_tracker_tpu.paths import sum_of_cosines_course
 from ccv_mppi_path_tracker_tpu.runtime.pure_pursuit import (

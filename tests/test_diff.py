@@ -6,7 +6,6 @@ import numpy as np
 
 from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
 from ccv_mppi_path_tracker_tpu.diff import (
-    ControlGains,
     fit_control_gains,
     fit_full_body_params,
     gradient_refine,

@@ -11,7 +11,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ccv_mppi_path_tracker_tpu.core import ControllerState
 from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
 from ccv_mppi_path_tracker_tpu.paths import PathBuffer
 from ccv_mppi_path_tracker_tpu.runtime import load_checkpoint, save_checkpoint
