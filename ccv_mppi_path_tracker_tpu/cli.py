@@ -37,18 +37,49 @@ def _add_run_args(p):
                    help="save yaw-vs-path-yaw figure (graph3 layout) to file")
     p.add_argument("--kernel", action="store_true",
                    help="use the fused Pallas kernel path")
+    p.add_argument("--course", default="preset",
+                   choices=["preset", "sin", "dkan", "square", "circle"],
+                   help="override the preset's course (e.g. --course dkan "
+                        "mirrors launch/dkan_diff_drive_mppi.launch)")
 
 
-def cmd_run(args):
-
-
+def _resolve(args):
+    """(cfg, sp, cp, course) from the preset + optional course override."""
     from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
-    from ccv_mppi_path_tracker_tpu.runtime import run_tracking_experiment
 
     kwargs = {"horizon": args.horizon}
     if args.num_samples:
         kwargs["num_samples"] = args.num_samples
     cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    if getattr(args, "course", "preset") != "preset":
+        from ccv_mppi_path_tracker_tpu.paths import (
+            circle_course,
+            dkan_course,
+            filtered_square_course,
+            spline_resample_course,
+            sum_of_cosines_course,
+        )
+
+        course = {
+            "sin": lambda: sum_of_cosines_course(
+                amplitudes=(1.0, 0, 0), frequencies=(0.25, 0, 0),
+                deltas=(0, 0, 0), resolution=0.1, course_length=10.0,
+            ),
+            # raw dkan corners are unreachable kinks; the corridor test uses
+            # the spline-smoothed variant (tests/test_paths.py)
+            "dkan": lambda: spline_resample_course(
+                dkan_course(resolution=0.5), resolution=0.1
+            ),
+            "square": lambda: filtered_square_course(),
+            "circle": lambda: circle_course(radius=10.0, resolution=0.1),
+        }[args.course]().astype(np.float32)
+    return cfg, sp, cp, course
+
+
+def cmd_run(args):
+    from ccv_mppi_path_tracker_tpu.runtime import run_tracking_experiment
+
+    cfg, sp, cp, course = _resolve(args)
     out = run_tracking_experiment(
         cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed,
         use_kernel=args.kernel,
@@ -87,17 +118,13 @@ def _record(args, out, cfg):
 
 def cmd_compare(args):
     """MPPI vs the pure-pursuit baseline on the same course."""
-    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
     from ccv_mppi_path_tracker_tpu.runtime import run_tracking_experiment
     from ccv_mppi_path_tracker_tpu.runtime.pure_pursuit import (
         PurePursuitConfig,
         run_pure_pursuit_experiment,
     )
 
-    kwargs = {"horizon": args.horizon}
-    if args.num_samples:
-        kwargs["num_samples"] = args.num_samples
-    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    cfg, sp, cp, course = _resolve(args)
     mppi = run_tracking_experiment(
         cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed
     )
@@ -115,13 +142,9 @@ def cmd_realtime(args):
     """Wall-clock fixed-rate run with the native scheduler + recorder."""
     import os
 
-    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
     from ccv_mppi_path_tracker_tpu.runtime.realtime import run_realtime_experiment
 
-    kwargs = {"horizon": args.horizon}
-    if args.num_samples:
-        kwargs["num_samples"] = args.num_samples
-    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    cfg, sp, cp, course = _resolve(args)
     rec = None
     if args.record:
         os.makedirs(args.record, exist_ok=True)
@@ -145,14 +168,10 @@ def cmd_realtime(args):
 
 def cmd_export(args):
     """Serialize the compiled control step for deployment (jax.export)."""
-    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
     from ccv_mppi_path_tracker_tpu.paths import PathBuffer
     from ccv_mppi_path_tracker_tpu.runtime.export import export_control_step
 
-    kwargs = {"horizon": args.horizon}
-    if args.num_samples:
-        kwargs["num_samples"] = args.num_samples
-    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    cfg, sp, cp, course = _resolve(args)
     blob = export_control_step(
         cfg, path_capacity=len(course), sp=sp, cp=cp
     )
@@ -220,7 +239,6 @@ def cmd_fleet(args):
     import jax
     import jax.numpy as jnp
 
-    from ccv_mppi_path_tracker_tpu.core.presets import PRESETS
     from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
     from ccv_mppi_path_tracker_tpu.models import get_model
     from ccv_mppi_path_tracker_tpu.paths import PathBuffer
@@ -229,10 +247,7 @@ def cmd_fleet(args):
         init_fleet,
     )
 
-    kwargs = {"horizon": args.horizon}
-    if args.num_samples:
-        kwargs["num_samples"] = args.num_samples
-    cfg, sp, cp, course = PRESETS[args.preset](**kwargs)
+    cfg, sp, cp, course = _resolve(args)
     path = PathBuffer.from_points(course, 0.1)
     model = get_model(cfg.model)
     B = args.robots

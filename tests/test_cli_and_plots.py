@@ -143,3 +143,15 @@ def test_cli_fleet(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "robot-updates/s" in out and "RMSE mean=" in out
+
+
+def test_cli_run_dkan_course(capsys):
+    """--course dkan mirrors launch/dkan_diff_drive_mppi.launch (controller
+    on the corridor course)."""
+    rc = main([
+        "run", "--preset", "diff_drive", "--steps", "40",
+        "--num-samples", "128", "--course", "dkan",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "RMSE Error:" in out
