@@ -182,6 +182,40 @@ def cmd_export(args):
     return 0
 
 
+def cmd_profile(args):
+    """Capture a jax.profiler device trace of control cycles (xprof/
+    TensorBoard viewable) plus a host-side phase-time summary."""
+    import jax
+    import jax.numpy as jnp
+
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import MPPISolver
+    from ccv_mppi_path_tracker_tpu.utils.profiling import PhaseTimer, device_trace
+
+    cfg, sp, cp, course = _resolve(args)
+    model = get_model(cfg.model)
+    path = PathBuffer.from_points(course, 0.1)
+    state = jnp.zeros(model.num_states, jnp.float32).at[1].set(
+        float(course[0, 1])
+    )
+    dt = jnp.float32(args.dt)
+    solver = MPPISolver(cfg, use_kernel=args.kernel)
+    ctrl = solver.init(args.seed)
+    timer = PhaseTimer()
+    with timer.phase("compile"):
+        ctrl, res = solver.step(ctrl, state, path, dt, sp, cp)
+        jax.block_until_ready(res.u0)
+    with device_trace(args.out):
+        for _ in range(args.steps):
+            with timer.phase("control_cycle", block_on=None):
+                ctrl, res = solver.step(ctrl, state, path, dt, sp, cp)
+        jax.block_until_ready(res.u0)
+    print(json.dumps(timer.summary()))
+    print(f"trace: {args.out} (view with xprof / TensorBoard)")
+    return 0
+
+
 def cmd_course(args):
     from ccv_mppi_path_tracker_tpu.paths import (
         circle_course,
@@ -318,6 +352,11 @@ def main(argv=None):
     _add_run_args(pf)
     pf.add_argument("--robots", type=int, default=64)
     pf.set_defaults(fn=cmd_fleet)
+
+    pp = sub.add_parser("profile", help="capture a jax.profiler device trace")
+    _add_run_args(pp)
+    pp.add_argument("--out", default="/tmp/ccv_trace")
+    pp.set_defaults(fn=cmd_profile)
 
     pe = sub.add_parser("export", help="serialize the compiled control step")
     _add_run_args(pe)

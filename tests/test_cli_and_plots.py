@@ -155,3 +155,18 @@ def test_cli_run_dkan_course(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "RMSE Error:" in out
+
+
+def test_cli_profile(tmp_path, capsys):
+    import json as _json
+
+    out = str(tmp_path / "trace")
+    rc = main([
+        "profile", "--preset", "diff_drive", "--steps", "5",
+        "--num-samples", "128", "--out", out,
+    ])
+    assert rc == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    summary = _json.loads(lines[-2])
+    assert "control_cycle" in summary and summary["control_cycle"]["count"] == 5
+    assert os.path.isdir(out)
