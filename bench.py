@@ -43,9 +43,11 @@ def main():
     p.add_argument("--horizon", type=int, default=30)
     p.add_argument("--short", type=int, default=8)
     p.add_argument("--long", type=int, default=72)
-    p.add_argument("--reps", type=int, default=3,
+    p.add_argument("--reps", type=int, default=6,
                    help="repetitions per chain length; min is used (relay "
-                        "round-trip jitter is additive noise)")
+                        "round-trip jitter and transient service load are "
+                        "additive noise; observed up to ~10x inflation under "
+                        "sustained load)")
     p.add_argument("--no-kernel", action="store_true",
                    help="use the XLA pipeline instead of the Pallas kernel")
     args = p.parse_args()
