@@ -41,6 +41,10 @@ def _add_run_args(p):
                    choices=["preset", "sin", "dkan", "square", "circle"],
                    help="override the preset's course (e.g. --course dkan "
                         "mirrors launch/dkan_diff_drive_mppi.launch)")
+    p.add_argument("--save-ckpt", default=None,
+                   help="save the final controller state + params (.npz)")
+    p.add_argument("--resume-ckpt", default=None,
+                   help="resume warm start/PRNG/step from a saved checkpoint")
 
 
 def _resolve(args):
@@ -80,10 +84,27 @@ def cmd_run(args):
     from ccv_mppi_path_tracker_tpu.runtime import run_tracking_experiment
 
     cfg, sp, cp, course = _resolve(args)
+    extra = {}
+    if args.resume_ckpt:
+        from ccv_mppi_path_tracker_tpu.runtime.checkpoint import load_checkpoint
+
+        ck_cfg, ctrl, trees = load_checkpoint(args.resume_ckpt, sp=sp, cp=cp)
+        assert ck_cfg.model == cfg.model and ck_cfg.horizon == cfg.horizon, (
+            f"checkpoint is for {ck_cfg.model} T={ck_cfg.horizon}, "
+            f"requested {cfg.model} T={cfg.horizon}"
+        )
+        sp, cp = trees["sp"], trees["cp"]
+        extra["ctrl"] = ctrl
+        print(f"resumed from {args.resume_ckpt} (cycle {int(ctrl.step)})")
     out = run_tracking_experiment(
         cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed,
-        use_kernel=args.kernel,
+        use_kernel=args.kernel, **extra,
     )
+    if args.save_ckpt:
+        from ccv_mppi_path_tracker_tpu.runtime.checkpoint import save_checkpoint
+
+        save_checkpoint(args.save_ckpt, cfg, out["ctrl"], sp=sp, cp=cp)
+        print(f"checkpoint: {args.save_ckpt}")
     m = out["metrics"]
     print(f"Time: {round(m['time'], 1)}")
     print(f"Max Error: {round(m['max_error'], 3)}")

@@ -137,6 +137,8 @@ def run_tracking_experiment(
     dtype=np.float32,
     use_kernel: bool = False,
     resolution: float = 0.1,
+    ctrl: Optional[ControllerState] = None,
+    state0=None,
 ):
     """Run a full tracking experiment via the fused scan; return logs + metrics.
 
@@ -146,6 +148,8 @@ def run_tracking_experiment(
     parameter (the reference's ``resolution`` ROS param, 0.1 by default for
     every course here) — it sets the reference-window stride, NOT the arc
     length; pass None to infer the median segment length instead.
+    ``ctrl``/``state0`` override the fresh warm start / start pose — pass a
+    restored ControllerState (runtime/checkpoint.py) to resume a run.
     """
     from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
 
@@ -153,15 +157,19 @@ def run_tracking_experiment(
     if resolution is None:
         resolution = _infer_resolution(course)
     path = PathBuffer.from_points(course, resolution, dtype=dtype)
-    state0 = np.zeros(model.num_states, dtype)
-    if start_on_course:
-        state0[0], state0[1] = course[0]
-        state0[2] = np.arctan2(
-            course[1, 1] - course[0, 1], course[1, 0] - course[0, 0]
+    if state0 is None:
+        state0 = np.zeros(model.num_states, dtype)
+        if start_on_course:
+            state0[0], state0[1] = course[0]
+            state0[2] = np.arctan2(
+                course[1, 1] - course[0, 1], course[1, 0] - course[0, 0]
+            )
+    else:
+        state0 = np.asarray(state0, dtype)
+    if ctrl is None:
+        ctrl = ControllerState.initial(
+            jax.random.PRNGKey(seed), cfg.horizon, model.num_controls, dtype=dtype
         )
-    ctrl = ControllerState.initial(
-        jax.random.PRNGKey(seed), cfg.horizon, model.num_controls, dtype=dtype
-    )
     sim = build_simulate_scan(
         cfg, plant=plant, num_steps=num_steps, use_kernel=use_kernel
     )
@@ -171,7 +179,8 @@ def run_tracking_experiment(
     logs = jax.tree.map(np.asarray, logs)
     xy = np.concatenate([state0[None, :2], logs["state"][:, :2]], axis=0)
     metrics = tracking_metrics(xy, course, dt=dt)
-    return {"logs": logs, "metrics": metrics, "course": course, "state0": state0}
+    return {"logs": logs, "metrics": metrics, "course": course,
+            "state0": state0, "ctrl": ctrl}
 
 
 def _infer_resolution(course: np.ndarray) -> float:

@@ -170,3 +170,19 @@ def test_cli_profile(tmp_path, capsys):
     summary = _json.loads(lines[-2])
     assert "control_cycle" in summary and summary["control_cycle"]["count"] == 5
     assert os.path.isdir(out)
+
+
+def test_cli_run_checkpoint_roundtrip(tmp_path, capsys):
+    ck = str(tmp_path / "run.npz")
+    rc = main([
+        "run", "--preset", "diff_drive", "--steps", "30",
+        "--num-samples", "128", "--save-ckpt", ck,
+    ])
+    assert rc == 0
+    rc = main([
+        "run", "--preset", "diff_drive", "--steps", "10",
+        "--num-samples", "128", "--resume-ckpt", ck,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "resumed from" in out and "(cycle 30)" in out
