@@ -113,7 +113,7 @@ def _make_normal_stream(shape):
 
 def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                  with_noise_input: bool, steer_off: bool, rows: int,
-                 batched: bool = False):
+                 batched: bool = False, second_moment: bool = False):
     tm1 = horizon - 1
     cap2 = DIST_CAP * DIST_CAP
     _ROWS = rows
@@ -160,11 +160,11 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         # across the sequential grid) is the running min cost. The first k
         # tile of each robot initializes (the acc block is revisited across
         # k tiles and swapped per robot).
+        n_acc = tm1 * u_dim * (2 if second_moment else 1) + 1
+
         @pl.when(kidx == 0)
         def _init():
-            accv[...] = jnp.zeros(
-                (8 * (tm1 * u_dim + 1), _LANES), jnp.float32
-            )
+            accv[...] = jnp.zeros((8 * n_acc, _LANES), jnp.float32)
             m_ref[0] = jnp.inf
 
         dt = sc(0)
@@ -327,17 +327,24 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             # a masked single-sublane slice.
             return jnp.sum(x.reshape(_ROWS // 8, 8, _LANES), axis=0)
 
-        nrow = tm1 * u_dim
+        nrow = n_acc - 1
         accv[8 * nrow:8 * (nrow + 1), :] = (
             accv[8 * nrow:8 * (nrow + 1), :] * factor + part8(w)
         )
         for t in range(tm1):
             for j in range(u_dim):
                 r = t * u_dim + j
+                u_tj = u_out[t, j]
+                wu = w * u_tj
                 accv[8 * r:8 * (r + 1), :] = (
-                    accv[8 * r:8 * (r + 1), :] * factor
-                    + part8(w * u_out[t, j])
+                    accv[8 * r:8 * (r + 1), :] * factor + part8(wu)
                 )
+                if second_moment:
+                    r2 = tm1 * u_dim + r
+                    accv[8 * r2:8 * (r2 + 1), :] = (
+                        accv[8 * r2:8 * (r2 + 1), :] * factor
+                        + part8(wu * u_tj)
+                    )
 
     return kernel
 
@@ -357,6 +364,7 @@ def fused_sample_rollout_cost(
     noise: Optional[jax.Array] = None,
     interpret: bool = False,
     vma_axis: Optional[str] = None,
+    second_moment: bool = False,
 ):
     """Run the fused kernel.
 
@@ -366,7 +374,9 @@ def fused_sample_rollout_cost(
     per-(sublane, lane) partial sums of the softmax-weighted update under the
     baseline min(costs) — ``u_opt = u_partial.sum((-2, -1)).reshape(T-1, U) /
     norm_partial.sum()`` on one device; under sample sharding rescale both by
-    exp(-(local_min - global_min)/lam) before the psum.
+    exp(-(local_min - global_min)/lam) before the psum. With
+    ``second_moment=True`` a fourth output holds the weighted sum of u^2
+    in the same layout (adaptive-covariance sampling).
     """
     assert model in (
         "unicycle", "steering_unicycle", "rate_limited_steering", "full_body"
@@ -389,7 +399,7 @@ def fused_sample_rollout_cost(
 
     kernel = _make_kernel(
         model, horizon, num_ref, u_dim, noise is not None, steer_off, rows,
-        batched=batched,
+        batched=batched, second_moment=second_moment,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -439,7 +449,8 @@ def fused_sample_rollout_cost(
     # Under shard_map the outputs are device-varying over the samples axis;
     # the vma annotation is required when check_vma is on.
     vma = frozenset({vma_axis}) if vma_axis is not None else frozenset()
-    acc_rows = 8 * (tm1 * u_dim + 1)
+    n_groups = tm1 * u_dim * (2 if second_moment else 1) + 1
+    acc_rows = 8 * n_groups
     if batched:
         grid = (B, grid_k)
         out_shape = (
@@ -482,11 +493,14 @@ def fused_sample_rollout_cost(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
+    nu = tm1 * u_dim
     if batched:
-        acc = acc.reshape(B, tm1 * u_dim + 1, 8, _LANES)
-        return costs.reshape(B, num_samples), acc[:, :-1], acc[:, -1]
-    acc = acc.reshape(tm1 * u_dim + 1, 8, _LANES)
-    return costs.reshape(num_samples), acc[:-1], acc[-1]
+        acc = acc.reshape(B, n_groups, 8, _LANES)
+        out = (costs.reshape(B, num_samples), acc[:, :nu], acc[:, -1])
+        return out + ((acc[:, nu:-1],) if second_moment else ())
+    acc = acc.reshape(n_groups, 8, _LANES)
+    out = (costs.reshape(num_samples), acc[:nu], acc[-1])
+    return out + ((acc[nu:-1],) if second_moment else ())
 
 
 def pack_scalars(dt, cp, yaw_ref0, model_params=None, noise_beta=0.0,

@@ -81,6 +81,13 @@ class ControlLoop:
     path: PathBuffer
     model_params: object = None
     nominal_dt: float = 0.1
+    # Covariance-adaptive importance sampling (PAPERS.md: "MPPI using
+    # Covariance Variable Importance Sampling"): EMA coefficient feeding the
+    # solver's weighted-sample std back into control_noise each cycle.
+    # 0 = reference semantics (fixed sigma). Sigma values are traced, so
+    # adaptation never recompiles.
+    sigma_adapt: float = 0.0
+    sigma_bounds: tuple = (0.25, 4.0)  # clip range, x initial sigma
 
     def __post_init__(self):
         # path/params are traced arguments, not closures: a new course of the
@@ -90,8 +97,10 @@ class ControlLoop:
             lambda ctrl, state, path, dt, sp, cp: mppi_step(
                 self.cfg, ctrl, state, path, dt, sp, cp,
                 model_params=self.model_params,
+                adapt_sigma=self.sigma_adapt > 0,
             )
         )
+        self._sigma0 = np.asarray(self.sp.control_noise)
         self._last_time = None
         model = get_model(self.cfg.model)
         self.ctrl = ControllerState.initial(
@@ -120,6 +129,16 @@ class ControlLoop:
             self.ctrl, state, self.path, jnp.asarray(dt, state.dtype),
             self.sp, self.cp,
         )
+        if self.sigma_adapt > 0:
+            a = self.sigma_adapt
+            sigma = (1 - a) * np.asarray(self.sp.control_noise) + a * np.asarray(
+                res.stats["sigma_suggest"]
+            )
+            lo, hi = self.sigma_bounds
+            sigma = np.clip(sigma, lo * self._sigma0, hi * self._sigma0)
+            self.sp = dataclasses.replace(
+                self.sp, control_noise=jnp.asarray(sigma)
+            )
         return res
 
 

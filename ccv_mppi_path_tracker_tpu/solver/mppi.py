@@ -57,6 +57,7 @@ def mppi_step(
     refine_steps: int = 0,
     refine_step_size: float = 0.02,
     debug_candidates: int = 0,
+    adapt_sigma: bool = False,
 ):
     """Run one MPPI control cycle. Returns (next ControllerState, StepResult).
 
@@ -77,6 +78,13 @@ def mppi_step(
         stats["candidates"] (N, T, 2) — the framework's equivalent of the
         reference's candidate-path MarkerArray debug topic
         (src/diff_drive_mppi.cpp:265-294). XLA path only.
+    adapt_sigma: also compute stats["sigma_suggest"] (U,) — the per-dim std
+        of the softmax-weighted sample distribution around the update,
+        averaged over the horizon. Feed it back into
+        SolverParams.control_noise for covariance-adaptive importance
+        sampling (PAPERS.md: "MPPI using Covariance Variable Importance
+        Sampling"; see runtime/loop.py ControlLoop.sigma_adapt). Off by
+        default: reference semantics keep sigma fixed.
     """
     model = get_model(cfg.model)
     if model_params is None:
@@ -90,9 +98,9 @@ def mppi_step(
     ref = resample_reference(path, state[:2], cp.v_ref, dt, cfg.horizon)
 
     if use_kernel:
-        costs, u_rows, s_row = _kernel_sample_rollout_cost(
+        costs, u_rows, s_row, u2_rows = _kernel_sample_rollout_cost(
             cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise,
-            k_local, kernel_interpret, axis_name,
+            k_local, kernel_interpret, axis_name, second_moment=adapt_sigma,
         )
         _, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
         # The kernel accumulated the weighted update online under the local
@@ -103,11 +111,20 @@ def mppi_step(
             cfg.horizon - 1, ctrl.u_prev.shape[1]
         )
         norm = jnp.sum(s_row)
+        u2_num = None
+        if adapt_sigma:
+            u2_num = jnp.sum(u2_rows, axis=(-2, -1)).reshape(
+                cfg.horizon - 1, ctrl.u_prev.shape[1]
+            )
         if axis_name is not None:
             rescale = jnp.exp(-(jnp.min(costs) - stats["min_cost"]) / sp.lam)
             u_num = jax.lax.psum(u_num * rescale, axis_name)
             norm = jax.lax.psum(norm * rescale, axis_name)
+            if adapt_sigma:
+                u2_num = jax.lax.psum(u2_num * rescale, axis_name)
         u_opt = u_num / norm
+        if adapt_sigma:
+            stats["sigma_suggest"] = _sigma_suggest(u2_num / norm, u_opt)
         u_opt = _maybe_refine(
             cfg, u_opt, state, ref, dt, sp, cp, model_params,
             refine_steps, refine_step_size,
@@ -141,6 +158,9 @@ def mppi_step(
             states[:, :debug_candidates, :2], (1, 0, 2)
         )
     u_opt = weighted_update(weights, u_samples, axis_name=axis_name)
+    if adapt_sigma:
+        m2 = weighted_update(weights, u_samples * u_samples, axis_name=axis_name)
+        stats["sigma_suggest"] = _sigma_suggest(m2, u_opt)
     u_opt = _maybe_refine(
         cfg, u_opt, state, ref, dt, sp, cp, model_params,
         refine_steps, refine_step_size,
@@ -153,6 +173,12 @@ def mppi_step(
         u_opt=u_opt, u0=u_opt[0], ref=ref, opt_states=opt_states, stats=stats
     )
     return next_ctrl, result
+
+
+def _sigma_suggest(m2, u_opt):
+    """Per-dim std of the weighted sample distribution, averaged over t."""
+    var = jnp.maximum(m2 - u_opt * u_opt, 0.0)
+    return jnp.sqrt(jnp.mean(var, axis=0))
 
 
 def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
@@ -174,10 +200,11 @@ def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
 
 def _kernel_sample_rollout_cost(
     cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
-    kernel_interpret, axis_name=None,
+    kernel_interpret, axis_name=None, second_moment=False,
 ):
     """Bridge the fused Pallas kernel into the step: returns (costs,
-    per-lane weighted-update partials, per-lane normalizer partials)."""
+    per-lane weighted-update partials, per-lane normalizer partials,
+    per-lane second-moment partials or None)."""
     from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
         fused_sample_rollout_cost,
         pack_scalars,
@@ -196,7 +223,7 @@ def _kernel_sample_rollout_cost(
         noise = jnp.transpose(noise, (0, 2, 1)).reshape(
             tm1, u_dim, k_local // 128, 128
         )
-    costs, u_rows, s_row = fused_sample_rollout_cost(
+    out = fused_sample_rollout_cost(
         ctrl.u_prev,
         sp.control_noise,
         sp.u_min,
@@ -211,8 +238,11 @@ def _kernel_sample_rollout_cost(
         noise=noise,
         interpret=kernel_interpret,
         vma_axis=axis_name,
+        second_moment=second_moment,
     )
-    return costs, u_rows, s_row
+    if second_moment:
+        return out
+    return out + (None,)
 
 
 class MPPISolver:

@@ -71,3 +71,95 @@ def test_refine_preserves_steer_off():
     _, res = mppi_step(cfg, ctrl, state, path, jnp.asarray(0.1, jnp.float64),
                        sp, cp, refine_steps=5)
     np.testing.assert_array_equal(np.asarray(res.u_opt[:, 2]), 0.0)
+
+
+def test_sigma_suggest_matches_weighted_std():
+    """stats['sigma_suggest'] == std of the weighted sample distribution."""
+    import numpy as np
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+    from ccv_mppi_path_tracker_tpu.ops.sampling import sample_controls
+
+    K, T = 512, 10
+    cfg, sp, cp, course = diff_drive_launch(num_samples=K, horizon=T)
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), T, 2)
+    state = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(np.random.RandomState(0).randn(T - 1, K, 2), jnp.float32)
+    _, res = mppi_step(
+        cfg, ctrl, state, path, jnp.float32(0.1), sp, cp, noise=noise,
+        adapt_sigma=True,
+    )
+    # recompute from first principles
+    u = np.asarray(sample_controls(None, ctrl.u_prev, sp, K, noise=noise))
+    from ccv_mppi_path_tracker_tpu.ops.costs import trajectory_costs
+    from ccv_mppi_path_tracker_tpu.ops.rollout import rollout
+    from ccv_mppi_path_tracker_tpu.ops.softmax_update import softmax_weights
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.paths.resample import resample_reference
+
+    ref = resample_reference(path, state[:2], cp.v_ref, jnp.float32(0.1), T)
+    states = rollout(
+        get_model("unicycle").step,
+        jnp.broadcast_to(state, (K, 3)), jnp.asarray(u), jnp.float32(0.1),
+    )
+    costs = trajectory_costs("unicycle", states, jnp.asarray(u), {}, ref, cp)
+    w, _ = softmax_weights(costs, sp.lam)
+    w = np.asarray(w)
+    mean = np.einsum("k,tku->tu", w, u)
+    var = np.einsum("k,tku->tu", w, u * u) - mean**2
+    expected = np.sqrt(np.mean(np.maximum(var, 0), axis=0))
+    np.testing.assert_allclose(
+        np.asarray(res.stats["sigma_suggest"]), expected, rtol=2e-4, atol=1e-6
+    )
+
+
+def test_sigma_suggest_kernel_matches_xla():
+    import numpy as np
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+    K, T = 2048, 10
+    cfg, sp, cp, course = diff_drive_launch(num_samples=K, horizon=T)
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), T, 2)
+    state = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(np.random.RandomState(1).randn(T - 1, K, 2), jnp.float32)
+    _, a = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                     noise=noise, adapt_sigma=True)
+    _, b = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                     noise=noise, adapt_sigma=True, use_kernel=True,
+                     kernel_interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(b.stats["sigma_suggest"]),
+        np.asarray(a.stats["sigma_suggest"]), rtol=2e-4, atol=1e-6,
+    )
+
+
+def test_control_loop_sigma_adaptation_stays_bounded_and_tracks():
+    import numpy as np
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.runtime.loop import ControlLoop
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=256, horizon=10)
+    path = PathBuffer.from_points(course, 0.1)
+    loop = ControlLoop(cfg=cfg, sp=sp, cp=cp, path=path, sigma_adapt=0.2)
+    sigma0 = np.asarray(sp.control_noise).copy()
+    model = get_model(cfg.model)
+    state = jnp.asarray([0.0, float(course[0, 1]), 0.0], jnp.float32)
+    for _ in range(30):
+        res = loop.step(state, dt=0.1)
+        state = model.step(state, res.u0, jnp.float32(0.1))
+    sig = np.asarray(loop.sp.control_noise)
+    assert (sig >= 0.25 * sigma0 - 1e-7).all()
+    assert (sig <= 4.0 * sigma0 + 1e-7).all()
+    assert not np.allclose(sig, sigma0)  # it actually adapted
+    err = abs(float(state[1]) - np.interp(float(state[0]),
+                                          course[:, 0], course[:, 1]))
+    assert err < 0.4
