@@ -1,6 +1,8 @@
 from ccv_mppi_path_tracker_tpu.diff.gradients import (
     make_trajectory_cost,
+    make_trajectory_residuals,
     gradient_refine,
+    gauss_newton_refine,
 )
 from ccv_mppi_path_tracker_tpu.diff.system_id import (
     ControlGains,
@@ -10,7 +12,9 @@ from ccv_mppi_path_tracker_tpu.diff.system_id import (
 
 __all__ = [
     "make_trajectory_cost",
+    "make_trajectory_residuals",
     "gradient_refine",
+    "gauss_newton_refine",
     "ControlGains",
     "fit_control_gains",
     "fit_full_body_params",

@@ -56,6 +56,7 @@ def mppi_step(
     kernel_interpret: Optional[bool] = None,
     refine_steps: int = 0,
     refine_step_size: float = 0.02,
+    refine_method: str = "gradient",
     debug_candidates: int = 0,
     adapt_sigma: bool = False,
 ):
@@ -72,8 +73,11 @@ def mppi_step(
         own (different but deterministic) stream. kernel_interpret=None
         auto-selects interpreter mode off-TPU.
     refine_steps: gradient-smoothed MPPI — polish the sampled update with
-        this many projected-gradient steps through the rollout (diff/
-        gradients.py) before actuation. 0 = classic sampled MPPI.
+        this many refinement steps through the rollout (diff/gradients.py)
+        before actuation. 0 = classic sampled MPPI. refine_method selects
+        projected gradient descent ("gradient") or Levenberg-Marquardt
+        guarded Gauss-Newton on the least-squares cost structure
+        ("gauss_newton"; PAPERS.md).
     debug_candidates: include the first N candidate rollout xy paths in
         stats["candidates"] (N, T, 2) — the framework's equivalent of the
         reference's candidate-path MarkerArray debug topic
@@ -127,7 +131,7 @@ def mppi_step(
             stats["sigma_suggest"] = _sigma_suggest(u2_num / norm, u_opt)
         u_opt = _maybe_refine(
             cfg, u_opt, state, ref, dt, sp, cp, model_params,
-            refine_steps, refine_step_size,
+            refine_steps, refine_step_size, refine_method,
         )
         opt_states = rollout(model.step, state, u_opt, dt)
         next_ctrl = ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
@@ -163,7 +167,7 @@ def mppi_step(
         stats["sigma_suggest"] = _sigma_suggest(m2, u_opt)
     u_opt = _maybe_refine(
         cfg, u_opt, state, ref, dt, sp, cp, model_params,
-        refine_steps, refine_step_size,
+        refine_steps, refine_step_size, refine_method,
     )
 
     opt_states = rollout(model.step, state, u_opt, dt)  # (T, S)
@@ -182,16 +186,25 @@ def _sigma_suggest(m2, u_opt):
 
 
 def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
-                  refine_steps, refine_step_size):
+                  refine_steps, refine_step_size, refine_method="gradient"):
     if not refine_steps:
         return u_opt
-    from ccv_mppi_path_tracker_tpu.diff.gradients import gradient_refine
+    from ccv_mppi_path_tracker_tpu.diff.gradients import (
+        gauss_newton_refine,
+        gradient_refine,
+    )
     from ccv_mppi_path_tracker_tpu.ops.sampling import STEER_DIM
 
-    u_opt = gradient_refine(
-        cfg, u_opt, state, ref, dt, sp, cp, model_params=model_params,
-        step_size=refine_step_size, num_steps=refine_steps,
-    )
+    if refine_method == "gauss_newton":
+        u_opt = gauss_newton_refine(
+            cfg, u_opt, state, ref, dt, sp, cp, model_params=model_params,
+            num_steps=refine_steps,
+        )
+    else:
+        u_opt = gradient_refine(
+            cfg, u_opt, state, ref, dt, sp, cp, model_params=model_params,
+            step_size=refine_step_size, num_steps=refine_steps,
+        )
     if cfg.steer_off:
         # the gradient has no reason to keep the disabled channel at zero
         u_opt = u_opt.at[:, STEER_DIM].set(0.0)

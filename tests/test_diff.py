@@ -145,3 +145,59 @@ def test_gradient_through_long_horizon():
         um = u.at[t, d].add(-eps)
         fd = (float(f(up)) - float(f(um))) / (2 * eps)
         np.testing.assert_allclose(float(g[t, d]), fd, rtol=1e-4, atol=1e-7)
+
+
+def test_residuals_square_to_cost():
+    """sum(residuals^2) == trajectory cost, unicycle and full_body."""
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.diff import make_trajectory_residuals
+
+    rng = np.random.RandomState(0)
+    for launch, udim, sdim in ((diff_drive_launch, 2, 3),
+                               (full_body_launch, 5, 5)):
+        cfg, sp, cp, _ = launch(horizon=10, dtype=np.float64)
+        cost_fn = make_trajectory_cost(cfg)
+        res_fn = make_trajectory_residuals(cfg)
+        ref = _ref_window(10)
+        state = jnp.zeros(sdim, jnp.float64)
+        u = jnp.asarray(rng.randn(9, udim) * 0.3)
+        c = float(cost_fn(u, state, ref, 0.1, cp))
+        r = res_fn(u, state, ref, 0.1, cp)
+        np.testing.assert_allclose(float(jnp.sum(r * r)), c, rtol=1e-9)
+
+
+def test_gauss_newton_one_shots_quadratic_cost():
+    """With path_weight=0 the cost is quadratic in v: one GN step lands at
+    v_ref (the clipped least-squares optimum) where one GD step does not."""
+    import dataclasses as dc
+
+    from ccv_mppi_path_tracker_tpu.diff import gauss_newton_refine
+
+    cfg, sp, cp, _ = diff_drive_launch(horizon=10, dtype=np.float64)
+    cp = dc.replace(cp, path_weight=jnp.asarray(0.0, jnp.float64))
+    ref = _ref_window(10)
+    state = jnp.zeros(3, jnp.float64)
+    u0 = jnp.zeros((9, 2), jnp.float64)
+    u1 = gauss_newton_refine(cfg, u0, state, ref, 0.1, sp, cp,
+                             num_steps=1, damping=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(u1[:, 0]), float(cp.v_ref), rtol=1e-5
+    )
+    g1 = gradient_refine(cfg, u0, state, ref, 0.1, sp, cp,
+                         step_size=0.02, num_steps=1)
+    assert abs(float(g1[0, 0]) - float(cp.v_ref)) > 1e-2
+
+
+def test_gauss_newton_reduces_tracking_cost():
+    from ccv_mppi_path_tracker_tpu.diff import gauss_newton_refine
+
+    cfg, sp, cp, _ = diff_drive_launch(horizon=10, dtype=np.float64)
+    cost_fn = make_trajectory_cost(cfg)
+    ref = _ref_window(10)
+    state = jnp.asarray([0.0, 0.4, 0.5])  # off path, misaligned
+    u0 = jnp.zeros((9, 2), jnp.float64)
+    u1 = gauss_newton_refine(cfg, u0, state, ref, 0.1, sp, cp, num_steps=3)
+    assert float(cost_fn(u1, state, ref, 0.1, cp)) < float(
+        cost_fn(u0, state, ref, 0.1, cp)
+    )
+    assert float(jnp.max(u1[:, 0])) <= float(sp.u_max[0]) + 1e-12

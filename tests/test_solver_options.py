@@ -163,3 +163,31 @@ def test_control_loop_sigma_adaptation_stays_bounded_and_tracks():
     err = abs(float(state[1]) - np.interp(float(state[0]),
                                           course[:, 0], course[:, 1]))
     assert err < 0.4
+
+
+def test_refine_method_gauss_newton_in_step():
+    """mppi_step(refine_method='gauss_newton') runs and never degrades the
+    realized trajectory cost vs the unrefined update (LM guard)."""
+    import numpy as np
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+    from ccv_mppi_path_tracker_tpu.core.types import RefWindow
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=128, horizon=10)
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), 10, 2)
+    state = jnp.asarray([0.0, float(course[0, 1]) + 0.3, 0.4], jnp.float32)
+    noise = jnp.asarray(
+        np.random.RandomState(0).randn(9, 128, 2), jnp.float32
+    )
+    dt = jnp.float32(0.1)
+    _, plain = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise)
+    _, gn = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                      refine_steps=3, refine_method="gauss_newton")
+    cost_fn = make_trajectory_cost(cfg)
+    ref = RefWindow(xy=plain.ref.xy, yaw=plain.ref.yaw)
+    c_plain = float(cost_fn(plain.u_opt, state, ref, 0.1, cp))
+    c_gn = float(cost_fn(gn.u_opt, state, ref, 0.1, cp))
+    assert c_gn <= c_plain + 1e-6
+    assert np.isfinite(np.asarray(gn.u_opt)).all()
