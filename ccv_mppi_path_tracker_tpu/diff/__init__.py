@@ -4,6 +4,12 @@ from ccv_mppi_path_tracker_tpu.diff.gradients import (
     gradient_refine,
     gauss_newton_refine,
 )
+from ccv_mppi_path_tracker_tpu.diff.learned_sampler import (
+    SamplerNet,
+    collect_imitation_data,
+    fit_sampler,
+    proposal_mean,
+)
 from ccv_mppi_path_tracker_tpu.diff.system_id import (
     ControlGains,
     fit_control_gains,
@@ -15,6 +21,10 @@ __all__ = [
     "make_trajectory_residuals",
     "gradient_refine",
     "gauss_newton_refine",
+    "SamplerNet",
+    "collect_imitation_data",
+    "fit_sampler",
+    "proposal_mean",
     "ControlGains",
     "fit_control_gains",
     "fit_full_body_params",
