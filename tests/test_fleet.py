@@ -75,3 +75,34 @@ def test_fleet_kernel_step_runs_and_converges():
     err = np.abs(xy[:, 1] - np.interp(xy[:, 0], course[:, 0], course[:, 1]))
     assert np.isfinite(xy).all()
     assert float(err.mean()) < 0.3
+
+
+def test_fleet_per_robot_paths():
+    """shared_path=False: each robot tracks its own course in one program."""
+    B, K, T = 4, 256, 10
+    cfg, sp, cp, course = diff_drive_launch(num_samples=K, horizon=T)
+    # four vertically offset copies of the course
+    courses = np.stack([course + [0.0, 2.0 * b] for b in range(B)])
+    paths = jax.vmap(lambda c: PathBuffer.from_points_jax(c, 0.1))(
+        jnp.asarray(courses)
+    ) if hasattr(PathBuffer, "from_points_jax") else jax.tree.map(
+        lambda *xs: jnp.stack(xs),
+        *[PathBuffer.from_points(c, 0.1) for c in courses],
+    )
+    states = jnp.asarray(
+        [[c[0, 0], c[0, 1], 0.0] for c in courses], jnp.float32
+    )
+    step = build_fleet_step(cfg, shared_path=False)
+    ctrls = init_fleet(cfg, B)
+    model = get_model(cfg.model)
+    plant = jax.jit(jax.vmap(lambda s, u: model.step(s, u, jnp.float32(0.1))))
+    st = states
+    for _ in range(30):
+        ctrls, res = step(ctrls, st, paths, jnp.float32(0.1), sp, cp)
+        st = plant(st, res.u0)
+    xy = np.asarray(st)
+    for b in range(B):
+        err = abs(xy[b, 1] - np.interp(xy[b, 0], courses[b][:, 0],
+                                       courses[b][:, 1]))
+        assert err < 0.4, (b, err)
+        assert xy[b, 0] > 1.0  # made progress along its own course
