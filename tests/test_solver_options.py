@@ -191,3 +191,30 @@ def test_refine_method_gauss_newton_in_step():
     c_gn = float(cost_fn(gn.u_opt, state, ref, 0.1, cp))
     assert c_gn <= c_plain + 1e-6
     assert np.isfinite(np.asarray(gn.u_opt)).all()
+
+
+def test_sigma_suggest_kernel_matches_xla_full_body():
+    import numpy as np
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+    K, T = 2048, 10
+    cfg, sp, cp, course = full_body_launch(num_samples=K, horizon=T)
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), T, 5)
+    state = jnp.zeros(5, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(np.random.RandomState(2).randn(T - 1, K, 5), jnp.float32)
+    _, a = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                     noise=noise, adapt_sigma=True)
+    _, b = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                     noise=noise, adapt_sigma=True, use_kernel=True,
+                     kernel_interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(b.stats["sigma_suggest"]),
+        np.asarray(a.stats["sigma_suggest"]), rtol=2e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.u_opt), np.asarray(a.u_opt), rtol=2e-5, atol=2e-6,
+    )
