@@ -99,8 +99,8 @@ def main():
     ]
     for model, K, T in cases:
         for use_kernel in (False, True):
-            if use_kernel and K % 4096 != 0:
-                continue
+            if use_kernel and K % 1024 != 0:
+                continue  # smallest kernel tile is 8 rows x 128 lanes
             try:
                 per = measure(model, K, T, use_kernel)
                 rows.append((model, K, T, "kernel" if use_kernel else "xla",
