@@ -108,9 +108,11 @@ def collect_imitation_data(
         state = jnp.zeros(model.num_states, jnp.float32)
         state = state.at[0].set(base[0])
         state = state.at[1].set(
-            base[1] + lateral_spread * jax.random.normal(kb, ())
+            base[1] + lateral_spread * jax.random.normal(kb, (), state.dtype)
         )
-        state = state.at[2].set(yaw0 + yaw_spread * jax.random.normal(kc, ()))
+        state = state.at[2].set(
+            yaw0 + yaw_spread * jax.random.normal(kc, (), state.dtype)
+        )
 
         ctrl = ControllerState(
             u_prev=jnp.zeros((cfg.horizon - 1, model.num_controls), jnp.float32),

@@ -76,8 +76,10 @@ def sim_contact_forces(state, accel, params: FullBodyParams,
     yr = contact_positions[1][1]
     total = m * gmag
     # solve fl*yl + fr*yr = total*zmp_y, fl + fr = total
-    fl = total * (zmp_y - yr) / (yl - yr)
-    fr = total - fl
+    # yl/yr may be strongly-typed np.float64 scalars; keep the scatter dtype
+    # consistent with the force buffer even under jax_enable_x64.
+    fl = jnp.asarray(total * (zmp_y - yr) / (yl - yr), com.dtype)
+    fr = jnp.asarray(total, com.dtype) - fl
     forces = jnp.zeros((len(contact_positions), 3), com.dtype)
     forces = forces.at[0, 2].set(fl)
     forces = forces.at[1, 2].set(fr)

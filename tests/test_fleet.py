@@ -17,7 +17,9 @@ def test_fleet_step_independent_robots():
     B = 5
     ctrls = init_fleet(cfg, B, seed=0)
     states = jnp.zeros((B, 3), jnp.float32)
-    states = states.at[:, 1].set(jnp.linspace(-0.5, 0.5, B) + float(course[0, 1]))
+    states = states.at[:, 1].set(
+        jnp.linspace(-0.5, 0.5, B, dtype=jnp.float32) + float(course[0, 1])
+    )
     step = build_fleet_step(cfg)
     ctrls2, res = step(ctrls, states, path, jnp.float32(0.1), sp, cp)
     assert res.u0.shape == (B, 2)
@@ -35,7 +37,9 @@ def test_fleet_closed_loop_converges_to_course():
     B = 4
     ctrls = init_fleet(cfg, B, seed=1)
     states = jnp.zeros((B, 3), jnp.float32)
-    states = states.at[:, 1].set(float(course[0, 1]) + jnp.linspace(-0.4, 0.4, B))
+    states = states.at[:, 1].set(
+        float(course[0, 1]) + jnp.linspace(-0.4, 0.4, B, dtype=jnp.float32)
+    )
     step = build_fleet_step(cfg)
     plant = get_model(cfg.model)
     dt = jnp.float32(0.1)
