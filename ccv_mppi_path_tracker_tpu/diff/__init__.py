@@ -4,6 +4,13 @@ from ccv_mppi_path_tracker_tpu.diff.gradients import (
     gradient_refine,
     gauss_newton_refine,
 )
+from ccv_mppi_path_tracker_tpu.diff.learned_optimizer import (
+    UpdateRule,
+    evaluate_rule,
+    learned_update_step,
+    learned_weights,
+    meta_train,
+)
 from ccv_mppi_path_tracker_tpu.diff.learned_sampler import (
     SamplerNet,
     collect_imitation_data,
@@ -17,6 +24,11 @@ from ccv_mppi_path_tracker_tpu.diff.system_id import (
 )
 
 __all__ = [
+    "UpdateRule",
+    "evaluate_rule",
+    "learned_update_step",
+    "learned_weights",
+    "meta_train",
     "make_trajectory_cost",
     "make_trajectory_residuals",
     "gradient_refine",
