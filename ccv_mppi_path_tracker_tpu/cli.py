@@ -45,6 +45,16 @@ def _add_run_args(p):
                    help="save the final controller state + params (.npz)")
     p.add_argument("--resume-ckpt", default=None,
                    help="resume warm start/PRNG/step from a saved checkpoint")
+    p.add_argument("--shift-warm-start", action="store_true",
+                   help="center sampling on the one-step-shifted previous "
+                        "optimum (standard receding-horizon practice; the "
+                        "reference does not shift)")
+    p.add_argument("--delay", type=float, default=None,
+                   help="actuation-latency compensation in seconds: solve "
+                        "from the delay-predicted state")
+    p.add_argument("--elite-frac", type=float, default=None,
+                   help="keep softmax weight only on this best cost quantile "
+                        "(CEM<->MPPI interpolation; XLA path only)")
 
 
 def _resolve(args):
@@ -96,9 +106,16 @@ def cmd_run(args):
         sp, cp = trees["sp"], trees["cp"]
         extra["ctrl"] = ctrl
         print(f"resumed from {args.resume_ckpt} (cycle {int(ctrl.step)})")
+    opts = {}
+    if getattr(args, "shift_warm_start", False):
+        opts["shift_warm_start"] = True
+    if getattr(args, "delay", None) is not None:
+        opts["delay"] = args.delay
+    if getattr(args, "elite_frac", None) is not None:
+        opts["elite_frac"] = args.elite_frac
     out = run_tracking_experiment(
         cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed,
-        use_kernel=args.kernel, **extra,
+        use_kernel=args.kernel, solver_options=opts or None, **extra,
     )
     if args.save_ckpt:
         from ccv_mppi_path_tracker_tpu.runtime.checkpoint import save_checkpoint

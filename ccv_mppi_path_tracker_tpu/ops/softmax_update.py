@@ -21,17 +21,31 @@ import jax
 import jax.numpy as jnp
 
 
-def softmax_weights(costs: jax.Array, lam, axis_name: Optional[str] = None):
+def softmax_weights(
+    costs: jax.Array,
+    lam,
+    axis_name: Optional[str] = None,
+    elite_frac: Optional[float] = None,
+):
     """Globally-normalized importance weights from per-sample costs.
 
     costs: (K_local,). Returns (weights (K_local,), stats dict). When
     ``axis_name`` is given the normalization spans all shards, so
     concatenating per-shard weights yields the global softmax.
+
+    elite_frac: optional CEM<->MPPI interpolation — zero the weight of every
+        sample whose cost is above the ``elite_frac`` quantile before
+        normalizing (elite_frac=1.0 is exactly vanilla MPPI). Single-device
+        only: the quantile is over the local cost vector.
     """
     baseline = jnp.min(costs)
     if axis_name is not None:
         baseline = jax.lax.pmin(baseline, axis_name)
     unnorm = jnp.exp(-(costs - baseline) / lam)
+    if elite_frac is not None:
+        assert axis_name is None, "elite_frac is single-device only"
+        thresh = jnp.quantile(costs, jnp.asarray(elite_frac, costs.dtype))
+        unnorm = jnp.where(costs <= thresh, unnorm, 0.0)
     denom = jnp.sum(unnorm)
     if axis_name is not None:
         denom = jax.lax.psum(denom, axis_name)

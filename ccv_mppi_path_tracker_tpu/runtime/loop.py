@@ -36,15 +36,19 @@ def build_simulate_scan(
     num_steps: int = 100,
     with_stats: bool = True,
     use_kernel: bool = False,
+    solver_options: Optional[dict] = None,
 ):
     """Build a jitted closed-loop simulation.
 
     Returns ``sim(ctrl, state0, path, dt, sp, cp, model_params=None) ->
     (final ctrl, logs)`` where logs is a dict of stacked per-cycle arrays:
     states (N, S), u0 (N, U), and solver stats (N,).
+    solver_options: extra keyword options forwarded to mppi_step each cycle
+    (e.g. shift_warm_start=True, delay=..., elite_frac=..., refine_steps=...).
     """
     if plant is None:
         plant = Plant(model_name=cfg.model)
+    solver_options = solver_options or {}
 
     def sim(ctrl, state0, path, dt, sp, cp, model_params=None):
         def body(carry, _):
@@ -52,7 +56,7 @@ def build_simulate_scan(
             plant_key = jax.random.fold_in(ctrl.key, 1)
             ctrl, res = mppi_step(
                 cfg, ctrl, state, path, dt, sp, cp, model_params=model_params,
-                use_kernel=use_kernel,
+                use_kernel=use_kernel, **solver_options,
             )
             state = plant.step(plant_key, state, res.u0, dt)
             log = {"state": state, "u0": res.u0}
@@ -88,16 +92,21 @@ class ControlLoop:
     # adaptation never recompiles.
     sigma_adapt: float = 0.0
     sigma_bounds: tuple = (0.25, 4.0)  # clip range, x initial sigma
+    # Extra keyword options forwarded to mppi_step each cycle (e.g.
+    # shift_warm_start=True, delay=0.02, elite_frac=0.1, refine_steps=3).
+    solver_options: Optional[dict] = None
 
     def __post_init__(self):
         # path/params are traced arguments, not closures: a new course of the
         # same buffer capacity (the reference republishes /reference_path
         # every tick) or retuned weights swap in without recompiling.
+        opts = self.solver_options or {}
         self._step = jax.jit(
             lambda ctrl, state, path, dt, sp, cp: mppi_step(
                 self.cfg, ctrl, state, path, dt, sp, cp,
                 model_params=self.model_params,
                 adapt_sigma=self.sigma_adapt > 0,
+                **opts,
             )
         )
         self._sigma0 = np.asarray(self.sp.control_noise)
@@ -158,6 +167,7 @@ def run_tracking_experiment(
     resolution: float = 0.1,
     ctrl: Optional[ControllerState] = None,
     state0=None,
+    solver_options: Optional[dict] = None,
 ):
     """Run a full tracking experiment via the fused scan; return logs + metrics.
 
@@ -190,7 +200,8 @@ def run_tracking_experiment(
             jax.random.PRNGKey(seed), cfg.horizon, model.num_controls, dtype=dtype
         )
     sim = build_simulate_scan(
-        cfg, plant=plant, num_steps=num_steps, use_kernel=use_kernel
+        cfg, plant=plant, num_steps=num_steps, use_kernel=use_kernel,
+        solver_options=solver_options,
     )
     ctrl, logs = sim(
         ctrl, jnp.asarray(state0), path, jnp.asarray(dt, dtype), sp, cp, model_params

@@ -59,6 +59,9 @@ def mppi_step(
     refine_method: str = "gradient",
     debug_candidates: int = 0,
     adapt_sigma: bool = False,
+    shift_warm_start: bool = False,
+    delay: Optional[float] = None,
+    elite_frac: Optional[float] = None,
 ):
     """Run one MPPI control cycle. Returns (next ControllerState, StepResult).
 
@@ -89,21 +92,48 @@ def mppi_step(
         sampling (PAPERS.md: "MPPI using Covariance Variable Importance
         Sampling"; see runtime/loop.py ControlLoop.sigma_adapt). Off by
         default: reference semantics keep sigma fixed.
+    shift_warm_start: center sampling on the ONE-STEP-SHIFTED previous
+        optimal sequence (last control repeated) instead of the unshifted
+        warm start. Standard receding-horizon MPPI practice; the reference
+        deliberately does NOT shift (src/diff_drive_mppi.cpp:89-90), so this
+        defaults off for parity. Works on both the XLA and kernel paths (the
+        shift happens to the sampling mean before either).
+    delay: actuation-latency compensation, in seconds. Euler-predicts the
+        measured state forward by ``delay`` under the command currently in
+        flight (ctrl.u_prev[0]) before solving, so the plan starts where the
+        plant will be when u0 actually takes effect. None (default) = the
+        reference's solve-from-measured-state semantics.
+    elite_frac: keep softmax weight only on the best ``elite_frac`` quantile
+        of samples (weights of the rest set to zero before normalizing) —
+        the CEM<->MPPI interpolation; elite_frac=1.0 is exactly vanilla
+        MPPI. Single-device XLA path only (needs a global cost quantile).
     """
     model = get_model(cfg.model)
     if model_params is None:
         model_params = model.default_params
     k_local = num_samples if num_samples is not None else cfg.num_samples
+    if elite_frac is not None:
+        assert axis_name is None and not use_kernel, (
+            "elite_frac requires the single-device XLA path"
+        )
 
     carry_key, use_key = next_cycle_key(ctrl.key)
     if axis_name is not None:
         use_key = shard_key(use_key, axis_name)
 
+    if delay is not None:
+        # Predict forward under the command currently in flight so the plan
+        # starts where the plant will be when u0 takes effect.
+        state = model.step(state, ctrl.u_prev[0], jnp.asarray(delay, state.dtype))
+    u_mean = ctrl.u_prev
+    if shift_warm_start:
+        u_mean = jnp.concatenate([ctrl.u_prev[1:], ctrl.u_prev[-1:]], axis=0)
+
     ref = resample_reference(path, state[:2], cp.v_ref, dt, cfg.horizon)
 
     if use_kernel:
         costs, u_rows, s_row, u2_rows = _kernel_sample_rollout_cost(
-            cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise,
+            cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise,
             k_local, kernel_interpret, axis_name, second_moment=adapt_sigma,
         )
         _, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
@@ -140,7 +170,7 @@ def mppi_step(
         )
 
     u_samples = sample_controls(
-        use_key, ctrl.u_prev, sp, k_local, steer_off=cfg.steer_off, noise=noise
+        use_key, u_mean, sp, k_local, steer_off=cfg.steer_off, noise=noise
     )
 
     state0 = jnp.broadcast_to(state, (k_local,) + state.shape)
@@ -156,7 +186,9 @@ def mppi_step(
         aux = model.aux_from_rollout(states, u_samples, dt, model_params)
 
     costs = trajectory_costs(cfg.model, states, u_samples, aux, ref, cp)
-    weights, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
+    weights, stats = softmax_weights(
+        costs, sp.lam, axis_name=axis_name, elite_frac=elite_frac
+    )
     if debug_candidates:
         stats["candidates"] = jnp.transpose(
             states[:, :debug_candidates, :2], (1, 0, 2)
@@ -212,7 +244,7 @@ def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
 
 
 def _kernel_sample_rollout_cost(
-    cfg, ctrl, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
+    cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
     kernel_interpret, axis_name=None, second_moment=False,
 ):
     """Bridge the fused Pallas kernel into the step: returns (costs,
@@ -226,7 +258,7 @@ def _kernel_sample_rollout_cost(
     if kernel_interpret is None:
         kernel_interpret = jax.default_backend() != "tpu"
     tm1 = cfg.horizon - 1
-    u_dim = ctrl.u_prev.shape[1]
+    u_dim = u_mean.shape[1]
     mp = model_params if cfg.model == "full_body" else None
     scal = pack_scalars(dt, cp, ref.yaw[0], mp, noise_beta=sp.noise_beta,
                         lam=sp.lam)
@@ -237,7 +269,7 @@ def _kernel_sample_rollout_cost(
             tm1, u_dim, k_local // 128, 128
         )
     out = fused_sample_rollout_cost(
-        ctrl.u_prev,
+        u_mean,
         sp.control_noise,
         sp.u_min,
         sp.u_max,

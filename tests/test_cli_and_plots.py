@@ -186,3 +186,16 @@ def test_cli_run_checkpoint_roundtrip(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "resumed from" in out and "(cycle 30)" in out
+
+
+def test_cli_run_with_solver_options(capsys):
+    rc = main([
+        "run", "--preset", "diff_drive", "--steps", "30",
+        "--num-samples", "128", "--shift-warm-start", "--delay", "0.02",
+        "--elite-frac", "0.2",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "RMSE Error:" in out
+    rmse = float(out.split("RMSE Error:")[1].split()[0])
+    assert rmse < 0.5

@@ -218,3 +218,149 @@ def test_sigma_suggest_kernel_matches_xla_full_body():
     np.testing.assert_allclose(
         np.asarray(b.u_opt), np.asarray(a.u_opt), rtol=2e-5, atol=2e-6,
     )
+
+
+def test_shift_warm_start_centers_on_shifted_sequence():
+    """With zero injected noise every sample equals the (clamped) shifted
+    mean, so u_opt must be exactly the one-step-shifted warm start."""
+    cfg, sp, cp, course = diff_drive_launch(num_samples=32, horizon=8)
+    path = PathBuffer.from_points(course, 0.1)
+    u_prev = jnp.asarray(
+        np.linspace(0.1, 0.7, 7)[:, None] * np.array([[1.0, -0.5]]), jnp.float32
+    )
+    ctrl = ControllerState(u_prev=u_prev, key=jax.random.PRNGKey(3),
+                           step=jnp.zeros((), jnp.int32))
+    state = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.zeros((7, 32, 2), jnp.float32)
+    _, res = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                       noise=noise, shift_warm_start=True)
+    expected = np.concatenate([u_prev[1:], u_prev[-1:]], axis=0)
+    expected = np.clip(expected, np.asarray(sp.u_min), np.asarray(sp.u_max))
+    np.testing.assert_allclose(np.asarray(res.u_opt), expected, atol=1e-6)
+    # and off by default: unshifted mean comes back
+    _, plain = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                         noise=noise)
+    np.testing.assert_allclose(np.asarray(plain.u_opt),
+                               np.asarray(u_prev), atol=1e-6)
+
+
+def test_shift_warm_start_kernel_matches_xla():
+    cfg, sp, cp, course = diff_drive_launch(num_samples=2048, horizon=10)
+    path = PathBuffer.from_points(course, 0.1)
+    u_prev = jnp.asarray(
+        np.random.RandomState(7).randn(9, 2) * 0.2, jnp.float32
+    )
+    ctrl = ControllerState(u_prev=u_prev, key=jax.random.PRNGKey(0),
+                           step=jnp.zeros((), jnp.int32))
+    state = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(np.random.RandomState(8).randn(9, 2048, 2), jnp.float32)
+    _, a = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                     noise=noise, shift_warm_start=True)
+    _, b = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                     noise=noise, shift_warm_start=True, use_kernel=True,
+                     kernel_interpret=True)
+    np.testing.assert_allclose(np.asarray(b.u_opt), np.asarray(a.u_opt),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_delay_compensation_predicts_state_forward():
+    """mppi_step(delay=d) == mppi_step on the d-seconds-predicted state."""
+    from ccv_mppi_path_tracker_tpu.models import get_model
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=64, horizon=10)
+    path = PathBuffer.from_points(course, 0.1)
+    u_prev = jnp.full((9, 2), 0.4, jnp.float32)
+    ctrl = ControllerState(u_prev=u_prev, key=jax.random.PRNGKey(1),
+                           step=jnp.zeros((), jnp.int32))
+    state = jnp.asarray([0.0, float(course[0, 1]), 0.2], jnp.float32)
+    noise = jnp.asarray(np.random.RandomState(2).randn(9, 64, 2), jnp.float32)
+    d = 0.05
+    _, a = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                     noise=noise, delay=d)
+    pred = get_model(cfg.model).step(state, u_prev[0], jnp.float32(d))
+    _, b = mppi_step(cfg, ctrl, pred, path, jnp.float32(0.1), sp, cp,
+                     noise=noise)
+    np.testing.assert_allclose(np.asarray(a.u_opt), np.asarray(b.u_opt),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(a.opt_states),
+                               np.asarray(b.opt_states), atol=1e-6)
+
+
+def test_elite_frac_weights():
+    from ccv_mppi_path_tracker_tpu.ops.softmax_update import softmax_weights
+
+    costs = jnp.asarray(np.random.RandomState(0).rand(256) * 5.0, jnp.float32)
+    w_full, _ = softmax_weights(costs, 1.0)
+    w_one, _ = softmax_weights(costs, 1.0, elite_frac=1.0)
+    np.testing.assert_allclose(np.asarray(w_one), np.asarray(w_full), rtol=1e-6)
+
+    w_elite, stats = softmax_weights(costs, 1.0, elite_frac=0.25)
+    c = np.asarray(costs)
+    thresh = np.quantile(c.astype(np.float32), 0.25)
+    assert (np.asarray(w_elite)[c > thresh + 1e-6] == 0.0).all()
+    np.testing.assert_allclose(float(np.asarray(w_elite).sum()), 1.0, rtol=1e-5)
+    # trimming concentrates the weights: ESS can only drop
+    _, full_stats = softmax_weights(costs, 1.0)
+    assert float(stats["ess"]) <= float(full_stats["ess"]) + 1e-3
+
+
+def test_elite_frac_in_step_matches_manual():
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.ops.costs import trajectory_costs
+    from ccv_mppi_path_tracker_tpu.ops.rollout import rollout
+    from ccv_mppi_path_tracker_tpu.ops.sampling import sample_controls
+    from ccv_mppi_path_tracker_tpu.ops.softmax_update import (
+        softmax_weights, weighted_update,
+    )
+    from ccv_mppi_path_tracker_tpu.paths.resample import resample_reference
+
+    K, T = 256, 10
+    cfg, sp, cp, course = diff_drive_launch(num_samples=K, horizon=T)
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(0), T, 2)
+    state = jnp.asarray([0.0, float(course[0, 1]) + 0.2, 0.3], jnp.float32)
+    noise = jnp.asarray(np.random.RandomState(5).randn(T - 1, K, 2), jnp.float32)
+    dt = jnp.float32(0.1)
+    _, res = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                       elite_frac=0.1)
+    u = sample_controls(None, ctrl.u_prev, sp, K, noise=noise)
+    ref = resample_reference(path, state[:2], cp.v_ref, dt, T)
+    states = rollout(get_model("unicycle").step,
+                     jnp.broadcast_to(state, (K, 3)), u, dt)
+    costs = trajectory_costs("unicycle", states, u, {}, ref, cp)
+    w, _ = softmax_weights(costs, sp.lam, elite_frac=0.1)
+    np.testing.assert_allclose(np.asarray(res.u_opt),
+                               np.asarray(weighted_update(w, u)), atol=1e-6)
+
+
+def test_delay_compensation_improves_tracking_under_actuation_lag():
+    """Plant applies each command one full cycle late; compensating with
+    delay=dt must track better than ignoring the lag."""
+    from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
+    from ccv_mppi_path_tracker_tpu.models import get_model
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=512, horizon=12)
+    path = PathBuffer.from_points(course, 0.1)
+    model = get_model(cfg.model)
+    dt = jnp.float32(0.1)
+
+    def run(delay):
+        step = jax.jit(lambda ctrl, state, u_pending: mppi_step(
+            cfg, ctrl, state, path, dt, sp, cp, delay=delay))
+        ctrl = ControllerState.initial(jax.random.PRNGKey(0), 12, 2)
+        state = jnp.asarray([float(course[0, 0]), float(course[0, 1]),
+                             float(np.arctan2(course[1, 1] - course[0, 1],
+                                              course[1, 0] - course[0, 0]))],
+                            jnp.float32)
+        pending = jnp.zeros(2, jnp.float32)  # command in flight
+        xs = [np.asarray(state[:2])]
+        for _ in range(120):
+            ctrl, res = step(ctrl, state, pending)
+            state = model.step(state, pending, dt)  # lagged actuation
+            pending = res.u0
+            xs.append(np.asarray(state[:2]))
+        return tracking_metrics(np.stack(xs), course, dt=0.1)["rmse"]
+
+    rmse_naive = run(None)
+    rmse_comp = run(0.1)
+    assert rmse_comp < rmse_naive
