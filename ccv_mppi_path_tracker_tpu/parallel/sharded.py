@@ -27,6 +27,7 @@ def build_sharded_step(
     mesh: Mesh,
     axis: str = SAMPLES_AXIS,
     use_kernel: bool = False,
+    solver_options: Optional[dict] = None,
 ):
     """Jitted sample-sharded control step over ``mesh``.
 
@@ -35,6 +36,8 @@ def build_sharded_step(
     (T-1, K, U) tensor; it is split over the sample axis. All other inputs and
     all outputs are replicated. ``use_kernel`` runs the per-shard pipeline as
     the fused Pallas kernel (K/N must then be a multiple of the kernel tile).
+    ``solver_options`` forwards extra mppi_step keywords (shift_warm_start,
+    delay, adapt_sigma, ...); elite_frac is single-device only.
     """
     n = mesh.shape[axis]
     if cfg.num_samples % n != 0:
@@ -59,6 +62,7 @@ def build_sharded_step(
             axis_name=axis,
             num_samples=k_local,
             use_kernel=use_kernel,
+            **(solver_options or {}),
         )
 
     # check_vma stays on for the XLA pipeline; the Pallas-kernel variant
