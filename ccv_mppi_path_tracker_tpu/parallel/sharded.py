@@ -37,7 +37,9 @@ def build_sharded_step(
     all outputs are replicated. ``use_kernel`` runs the per-shard pipeline as
     the fused Pallas kernel (K/N must then be a multiple of the kernel tile).
     ``solver_options`` forwards extra mppi_step keywords (shift_warm_start,
-    delay, adapt_sigma, ...); elite_frac is single-device only.
+    delay, adapt_sigma, elite_frac, ...); elite_frac selects elites by
+    GLOBAL cost rank across all shards (ops/softmax_update.py
+    elite_threshold), matching single-device exactly.
     """
     n = mesh.shape[axis]
     if cfg.num_samples % n != 0:

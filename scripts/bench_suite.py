@@ -21,14 +21,24 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 from ccv_mppi_path_tracker_tpu.core import ControllerState
+from ccv_mppi_path_tracker_tpu.core.config import rate_limited_steering_config
 from ccv_mppi_path_tracker_tpu.core.presets import (
     diff_drive_launch, full_body_launch, steering_launch,
 )
+
+
+def rate_limited_launch(num_samples=10000, horizon=15):
+    cfg, sp, cp = rate_limited_steering_config(
+        num_samples=num_samples, horizon=horizon, path_weight=10.0
+    )
+    _, _, _, course = diff_drive_launch()
+    return cfg, sp, cp, course
 from ccv_mppi_path_tracker_tpu.models import get_model
 from ccv_mppi_path_tracker_tpu.paths import PathBuffer
 from ccv_mppi_path_tracker_tpu.solver import mppi_step
 
 LAUNCH = {"unicycle": diff_drive_launch, "steering_unicycle": steering_launch,
+          "rate_limited_steering": rate_limited_launch,
           "full_body": full_body_launch}
 g = jax.jit(lambda x: jnp.sum(x))
 
@@ -94,6 +104,8 @@ def main():
     cases = [
         ("unicycle", 1000, 15), ("unicycle", 102400, 30),
         ("steering_unicycle", 10240, 15), ("steering_unicycle", 102400, 30),
+        ("rate_limited_steering", 10240, 15),
+        ("rate_limited_steering", 102400, 30),
         ("full_body", 10240, 15), ("full_body", 102400, 30),
         ("full_body", 1048576, 30), ("full_body", 102400, 100),
     ]
@@ -137,23 +149,39 @@ def main():
     print("wrote BENCH_DETAIL.md")
 
 
-# Hand-maintained section re-emitted on regeneration (scaling analysis —
-# single-chip hardware only in this container).
+# Hand-maintained section re-emitted on regeneration. The measured
+# multi-process numbers regenerate with:
+#   scripts/multiprocess_worker.py --num-samples 131072 --horizon 30
+#   (2 processes x 4 devices vs 1 process x 8; see tests/test_multiprocess.py)
 EXTRA_SECTIONS = """
-## Multi-chip scaling (analysis; single-chip hardware only in this container)
+## Multi-process (multi-host-path) scaling — MEASURED
 
-Sample-sharded MPPI communicates exactly three collectives per control
-update: `pmin` of the scalar cost baseline, `psum` of the scalar softmax
-normalizer, and `psum` of the (T-1)xU weighted-update partial — 582 bytes of
-payload at T=30, U=5. Work per chip is K/N independent rollouts with zero
-cross-sample traffic, so weak scaling (fixed K per chip) is bound only by
-collective latency: on ICI (~us) the overhead at kHz replan rates is <1%,
-and across hosts on DCN (~10-100 us) it remains <5% at 1 kHz. Strong scaling
-at K=1M over 8 chips would put each chip at K=131072 — near its ~1 ms
-latency floor — for an expected ~7x on the single-chip number. The
-sharded path itself is validated bit-close to single-device on an 8-way
-virtual mesh (tests/test_sharding.py); real multi-chip numbers require pod
-hardware not present here.
+Real 2-process `jax.distributed` execution (gRPC coordinator + gloo CPU
+collectives — the CPU stand-in for cross-host DCN; no pod hardware in this
+container). Workload: full-body solve, K=131072, T=30, f32, RNG mode,
+"samples" mesh over 8 virtual CPU devices; steady-state chained steps
+(scripts/multiprocess_worker.py, reproduced by tests/test_multiprocess.py):
+
+| processes | devices | ms/update | scaling efficiency |
+|---|---|---|---|
+| 1 | 8 (one process) | 806 | 1.00 |
+| 2 | 4 + 4 (cross-process collectives) | 838 | 0.962 |
+
+u_opt is **bit-identical** (max abs diff 0.0) between the 1-process and
+2-process runs with the same injected noise — the pmin/psum reductions are
+globally exact across the process boundary. The ~4% overhead is the gloo
+round-trip for the three per-step collectives (pmin baseline + psum
+normalizer + psum of the (T-1)xU weighted-update partial, 582 B payload at
+T=30 U=5); on a TPU pod the same three collectives ride ICI/DCN. Correctness
+of the distributed path is asserted in CI by `tests/test_multiprocess.py`,
+which launches both worker processes and checks them against the
+single-process 8-device solve at rtol=1e-12.
+
+Analysis for real pods: work per chip is K/N independent rollouts with zero
+cross-sample traffic, so weak scaling is bound only by collective latency
+(ICI ~us: <1% at kHz replan rates; DCN ~10-100 us: <5% at 1 kHz). Strong
+scaling at K=1M over 8 chips puts each chip at K=131072 — near its ~1 ms
+latency floor — for an expected ~7x on the single-chip number.
 """
 
 

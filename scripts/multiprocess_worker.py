@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""One process of a multi-process (multi-host-style) sharded MPPI run.
+
+Launched N times (by tests/test_multiprocess.py or by hand) with a shared
+coordinator address; each process owns ``--devices-per-process`` virtual CPU
+devices and the "samples" mesh spans all N*devices_per_process global devices,
+exactly as hosts in a pod slice would span it on TPU (SURVEY.md section 2.5:
+the softmax reductions ride ICI within a process and DCN — here gRPC/gloo —
+across processes). Writes the replicated solve result and a measured
+steady-state step time to --out as npz.
+
+Example (2 processes x 4 devices):
+
+    python scripts/multiprocess_worker.py --coordinator localhost:9876 \
+        --num-processes 2 --process-id 0 --out /tmp/p0.npz &
+    python scripts/multiprocess_worker.py --coordinator localhost:9876 \
+        --num-processes 2 --process-id 1 --out /tmp/p1.npz
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--coordinator", required=True)
+    p.add_argument("--num-processes", type=int, required=True)
+    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--devices-per-process", type=int, default=4)
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-samples", type=int, default=64)
+    p.add_argument("--horizon", type=int, default=10)
+    p.add_argument("--timing-iters", type=int, default=30,
+                   help="steady-state chained steps to time (0 = skip)")
+    p.add_argument("--x64", action="store_true")
+    args = p.parse_args()
+
+    # Backend setup must precede the jax import: each process gets its own
+    # block of virtual CPU devices.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    os.environ["XLA_FLAGS"] = (
+        flags
+        + f" --xla_force_host_platform_device_count={args.devices_per_process}"
+    ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    from ccv_mppi_path_tracker_tpu.parallel import initialize_multihost
+
+    ok = initialize_multihost(
+        coordinator_address=args.coordinator,
+        num_processes=args.num_processes,
+        process_id=args.process_id,
+    )
+    assert ok, "jax.distributed.initialize failed"
+    assert jax.process_count() == args.num_processes
+    n_global = len(jax.devices())
+    assert n_global == args.num_processes * args.devices_per_process
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.parallel import SAMPLES_AXIS, samples_mesh
+    from ccv_mppi_path_tracker_tpu.parallel.sharded import build_sharded_step
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+
+    dtype = np.float64 if args.x64 else np.float32
+    T, K = args.horizon, args.num_samples
+    cfg, sp, cp, course = full_body_launch(num_samples=K, horizon=T, dtype=dtype)
+    path = PathBuffer.from_points(course, 0.1, dtype=dtype)
+    ctrl = ControllerState(
+        u_prev=jnp.zeros((T - 1, 5), dtype),
+        key=jax.random.PRNGKey(3),
+        step=jnp.zeros((), jnp.int32),
+    )
+    state = jnp.zeros(5, dtype).at[1].set(float(course[0, 1]))
+    dt = jnp.asarray(0.1, dtype)
+
+    mesh = samples_mesh()  # spans all global devices across processes
+    step = build_sharded_step(cfg, mesh)
+
+    # Same deterministic noise in every process; hand jit the GLOBAL array by
+    # building it from this process's sample slice (the multi-process
+    # equivalent of passing the full tensor single-process). Device order in
+    # the mesh is jax.devices() order, so process p owns the p-th contiguous
+    # block of the sample axis.
+    noise_np = np.random.RandomState(0).randn(T - 1, K, 5).astype(dtype)
+    k_proc = K // args.num_processes
+    local = noise_np[:, args.process_id * k_proc:(args.process_id + 1) * k_proc]
+    noise_sh = NamedSharding(mesh, P(None, SAMPLES_AXIS, None))
+    noise = jax.make_array_from_process_local_data(
+        noise_sh, local, global_shape=noise_np.shape
+    )
+
+    rep = NamedSharding(mesh, P())
+    put = lambda t: jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(rep, np.asarray(x)), t
+    )
+    ctrl, state, path, dt, sp, cp = map(put, (ctrl, state, path, dt, sp, cp))
+
+    ctrl2, res = step(ctrl, state, path, dt, sp, cp, noise=noise)
+    u_opt = np.asarray(res.u_opt.addressable_data(0))
+    min_cost = float(np.asarray(res.stats["min_cost"].addressable_data(0)))
+    ess = float(np.asarray(res.stats["ess"].addressable_data(0)))
+
+    # Steady-state chained step time (RNG mode — the production path).
+    step_s = 0.0
+    if args.timing_iters:
+        c = ctrl2
+        _, r = step(c, state, path, dt, sp, cp)  # warm the RNG-mode compile
+        float(np.asarray(r.u_opt.addressable_data(0))[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(args.timing_iters):
+            c, r = step(c, state, path, dt, sp, cp)
+        float(np.asarray(r.u_opt.addressable_data(0))[0, 0])
+        step_s = (time.perf_counter() - t0) / args.timing_iters
+
+    np.savez(
+        args.out,
+        u_opt=u_opt,
+        min_cost=min_cost,
+        ess=ess,
+        step_s=step_s,
+        n_global_devices=n_global,
+        process_count=jax.process_count(),
+    )
+    print(f"process {args.process_id}: ok, {n_global} global devices, "
+          f"step={step_s * 1e3:.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()
