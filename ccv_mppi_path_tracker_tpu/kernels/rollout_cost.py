@@ -69,8 +69,12 @@ def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
 
 # scalar-param vector layout (SMEM)
 # [dt, v_ref, path_w, v_w, zmp_w, roll_v_w, back_w, yaw_w, yaw_ref0,
-#  mass, base2com, Ixx, Iyy, Izz, gravity_z, noise_beta, lam]
-_NSCAL = 17
+#  mass, base2com, Ixx, Iyy, Izz, gravity_z, noise_beta, lam, cost_thresh]
+# cost_thresh (+inf = vanilla) implements elite_frac: samples with cost above
+# it get zero weight in the online update (ops/softmax_update.py
+# elite_threshold supplies the globally-exact rank threshold; the solver
+# makes a second kernel pass with it — same seed, identical samples).
+_NSCAL = 18
 
 
 def _normals_pair(shape):
@@ -320,6 +324,7 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         # first tile m_prev = inf so the factor is exp(-inf) = 0 over zeros.
         factor = jnp.exp(-(m_prev - m_new) / lam)
         w = jnp.exp(-(cost - m_new) / lam)
+        w = jnp.where(cost <= sc(17), w, 0.0)  # elite mask (thresh=inf: all)
 
         def part8(x):
             # (ROWS, LANES) -> (8, LANES) sublane-group partial sums: keeps
@@ -504,8 +509,10 @@ def fused_sample_rollout_cost(
 
 
 def pack_scalars(dt, cp, yaw_ref0, model_params=None, noise_beta=0.0,
-                 lam=1.0, dtype=jnp.float32):
+                 lam=1.0, cost_thresh=None, dtype=jnp.float32):
     """Build the (_NSCAL,) scalar-parameter vector from the cost/model pytrees."""
+    if cost_thresh is None:
+        cost_thresh = jnp.inf
     zeros = jnp.zeros((), dtype)
     if model_params is not None:
         mp = [
@@ -521,6 +528,6 @@ def pack_scalars(dt, cp, yaw_ref0, model_params=None, noise_beta=0.0,
     vals = [
         dt, cp.v_ref, cp.path_weight, cp.v_weight, cp.zmp_weight,
         cp.roll_v_weight, cp.back_weight, cp.yaw_weight, yaw_ref0, *mp,
-        noise_beta, lam,
+        noise_beta, lam, cost_thresh,
     ]
     return jnp.stack([jnp.asarray(v, dtype) for v in vals])

@@ -21,6 +21,49 @@ import jax
 import jax.numpy as jnp
 
 
+def elite_threshold(
+    costs: jax.Array,
+    frac: float,
+    axis_name: Optional[str] = None,
+    iters: int = 64,
+):
+    """Global cost threshold selecting the best ``frac`` of ALL samples.
+
+    Returns the (approximately) ``ceil(frac * K_global)``-th smallest cost,
+    found by value bisection bracketed by the global min/max. Every reduction
+    is exact (pmin/pmax of the bracket, psum of integer counts), so the
+    bisection iterates are bit-identical whether ``costs`` is the full vector
+    on one device or a shard under ``axis_name`` — sharded elite selection
+    therefore matches single-device exactly. 64 halvings shrink the bracket
+    by 2^64, far below one ulp of any realistic cost scale, so the returned
+    threshold separates the k-th and (k+1)-th order statistics exactly.
+    """
+    k_local = costs.shape[0]
+    n_shards = 1
+    if axis_name is not None:
+        n_shards = jax.lax.axis_size(axis_name)
+    target = max(1, int(round(frac * k_local * n_shards)))
+
+    lo = jnp.min(costs)
+    hi = jnp.max(costs)
+    if axis_name is not None:
+        lo = jax.lax.pmin(lo, axis_name)
+        hi = jax.lax.pmax(hi, axis_name)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        count = jnp.sum((costs <= mid).astype(jnp.int32))
+        if axis_name is not None:
+            count = jax.lax.psum(count, axis_name)
+        keep = count >= target
+        # invariant: count(<= hi) >= target always holds
+        return jnp.where(keep, lo, mid), jnp.where(keep, mid, hi)
+
+    _, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return hi
+
+
 def softmax_weights(
     costs: jax.Array,
     lam,
@@ -34,17 +77,19 @@ def softmax_weights(
     concatenating per-shard weights yields the global softmax.
 
     elite_frac: optional CEM<->MPPI interpolation — zero the weight of every
-        sample whose cost is above the ``elite_frac`` quantile before
-        normalizing (elite_frac=1.0 is exactly vanilla MPPI). Single-device
-        only: the quantile is over the local cost vector.
+        sample whose cost is above the global ``elite_frac`` rank threshold
+        (:func:`elite_threshold`) before normalizing; elite_frac=1.0 is
+        exactly vanilla MPPI. Works sharded: the threshold bisection spans
+        all shards and matches single-device bit-exactly. The threshold is
+        reported in stats["elite_thresh"].
     """
     baseline = jnp.min(costs)
     if axis_name is not None:
         baseline = jax.lax.pmin(baseline, axis_name)
     unnorm = jnp.exp(-(costs - baseline) / lam)
+    thresh = None
     if elite_frac is not None:
-        assert axis_name is None, "elite_frac is single-device only"
-        thresh = jnp.quantile(costs, jnp.asarray(elite_frac, costs.dtype))
+        thresh = elite_threshold(costs, elite_frac, axis_name=axis_name)
         unnorm = jnp.where(costs <= thresh, unnorm, 0.0)
     denom = jnp.sum(unnorm)
     if axis_name is not None:
@@ -65,6 +110,8 @@ def softmax_weights(
         # Effective sample size of the importance weights, in [1, K].
         "ess": 1.0 / sum_w2,
     }
+    if thresh is not None:
+        stats["elite_thresh"] = thresh
     return weights, stats
 
 

@@ -103,19 +103,19 @@ def mppi_step(
         flight (ctrl.u_prev[0]) before solving, so the plan starts where the
         plant will be when u0 actually takes effect. None (default) = the
         reference's solve-from-measured-state semantics.
-    elite_frac: keep softmax weight only on the best ``elite_frac`` quantile
-        of samples (weights of the rest set to zero before normalizing) —
-        the CEM<->MPPI interpolation; elite_frac=1.0 is exactly vanilla
-        MPPI. Single-device XLA path only (needs a global cost quantile).
+    elite_frac: keep softmax weight only on the best ``elite_frac`` fraction
+        of samples by global cost rank (weights of the rest set to zero
+        before normalizing) — the CEM<->MPPI interpolation; elite_frac=1.0
+        is exactly vanilla MPPI. Works on every path: sharded (the rank
+        threshold bisection spans all shards via exact psum counts,
+        ops/softmax_update.py elite_threshold) and fused-kernel (a second
+        kernel pass re-accumulates the update with the sub-threshold mask;
+        the per-tile PRNG reseed makes the regenerated samples identical).
     """
     model = get_model(cfg.model)
     if model_params is None:
         model_params = model.default_params
     k_local = num_samples if num_samples is not None else cfg.num_samples
-    if elite_frac is not None:
-        assert axis_name is None and not use_kernel, (
-            "elite_frac requires the single-device XLA path"
-        )
 
     carry_key, use_key = next_cycle_key(ctrl.key)
     if axis_name is not None:
@@ -136,7 +136,18 @@ def mppi_step(
             cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise,
             k_local, kernel_interpret, axis_name, second_moment=adapt_sigma,
         )
-        _, stats = softmax_weights(costs, sp.lam, axis_name=axis_name)
+        _, stats = softmax_weights(
+            costs, sp.lam, axis_name=axis_name, elite_frac=elite_frac
+        )
+        if elite_frac is not None:
+            # Second pass: identical samples (per-tile PRNG reseed / same
+            # injected noise), update accumulated only over the elites.
+            _, u_rows, s_row, u2_rows = _kernel_sample_rollout_cost(
+                cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key,
+                noise, k_local, kernel_interpret, axis_name,
+                second_moment=adapt_sigma,
+                cost_thresh=stats["elite_thresh"],
+            )
         # The kernel accumulated the weighted update online under the local
         # min-cost baseline; finish the per-lane partial sums here. Under
         # sample sharding, rescale to the global (pmin) baseline — exact
@@ -245,7 +256,7 @@ def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
 
 def _kernel_sample_rollout_cost(
     cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
-    kernel_interpret, axis_name=None, second_moment=False,
+    kernel_interpret, axis_name=None, second_moment=False, cost_thresh=None,
 ):
     """Bridge the fused Pallas kernel into the step: returns (costs,
     per-lane weighted-update partials, per-lane normalizer partials,
@@ -261,7 +272,7 @@ def _kernel_sample_rollout_cost(
     u_dim = u_mean.shape[1]
     mp = model_params if cfg.model == "full_body" else None
     scal = pack_scalars(dt, cp, ref.yaw[0], mp, noise_beta=sp.noise_beta,
-                        lam=sp.lam)
+                        lam=sp.lam, cost_thresh=cost_thresh)
     seed = jax.random.randint(use_key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     if noise is not None:
         # (T-1, K, U) -> tile layout (T-1, U, K/128, 128)

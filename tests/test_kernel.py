@@ -195,3 +195,20 @@ def test_kernel_matches_xla_at_tall_horizon_tile_switch():
     # online accumulation grows with T; observed ~2e-5 max abs at T=60
     np.testing.assert_allclose(np.asarray(b.u_opt), np.asarray(a.u_opt),
                                rtol=5e-4, atol=5e-5)
+
+
+def test_kernel_elite_frac_matches_xla():
+    """elite_frac on the kernel path (two-pass, threshold mask in the
+    accumulator) == the XLA path's globally-rank-thresholded update."""
+    cfg, sp, cp, path, ctrl, state, noise = _setup(full_body_launch)
+    dt = jnp.float32(0.1)
+    _, a = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                     elite_frac=0.1)
+    _, b = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                     elite_frac=0.1, use_kernel=True, kernel_interpret=True)
+    np.testing.assert_allclose(np.asarray(b.u_opt), np.asarray(a.u_opt),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        float(b.stats["elite_thresh"]), float(a.stats["elite_thresh"]),
+        rtol=1e-6,
+    )

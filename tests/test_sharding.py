@@ -124,3 +124,33 @@ def test_sharded_kernel_path_matches_sharded_xla():
     np.testing.assert_allclose(
         np.asarray(res_k.u_opt), np.asarray(res_x.u_opt), rtol=2e-5, atol=2e-6
     )
+
+
+def test_sharded_elite_frac_matches_single_device():
+    """elite_frac under shard_map: the rank-threshold bisection uses only
+    exact reductions (pmin/pmax bracket, integer-count psum), so the sharded
+    elite update equals the single-device one bit-tightly."""
+    cfg, sp, cp, path, ctrl, state = _setup(full_body_launch)
+    noise = jnp.asarray(np.random.RandomState(7).randn(T - 1, K, 5))
+    dt = jnp.asarray(0.1, jnp.float64)
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step as _step
+
+    _, res1 = jax.jit(
+        lambda c, s, n: _step(cfg, c, s, path, dt, sp, cp, noise=n,
+                              elite_frac=0.25)
+    )(ctrl, state, noise)
+    mesh = samples_mesh(num_devices=8)
+    step8 = build_sharded_step(cfg, mesh, solver_options={"elite_frac": 0.25})
+    _, res8 = step8(ctrl, state, path, dt, sp, cp, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(res8.u_opt), np.asarray(res1.u_opt), rtol=1e-12, atol=1e-14
+    )
+    np.testing.assert_allclose(
+        float(res8.stats["elite_thresh"]), float(res1.stats["elite_thresh"]),
+        rtol=0, atol=0,
+    )
+    # elites by global rank: exactly ceil(0.25*K) samples weighted
+    from ccv_mppi_path_tracker_tpu.ops.softmax_update import elite_threshold
+
+    costs_thresh = float(res1.stats["elite_thresh"])
+    assert np.isfinite(costs_thresh)

@@ -364,3 +364,17 @@ def test_delay_compensation_improves_tracking_under_actuation_lag():
     rmse_naive = run(None)
     rmse_comp = run(0.1)
     assert rmse_comp < rmse_naive
+
+
+def test_elite_threshold_is_kth_order_statistic():
+    from ccv_mppi_path_tracker_tpu.ops.softmax_update import elite_threshold
+
+    c = np.random.RandomState(11).randn(333).astype(np.float64) * 40.0
+    for frac in (0.1, 0.25, 0.5, 1.0):
+        t = float(elite_threshold(jnp.asarray(c), frac))
+        k = max(1, int(round(frac * len(c))))
+        kth = np.sort(c)[k - 1]
+        # threshold sits on (or a hair above) the k-th smallest and below the
+        # (k+1)-th, so `cost <= t` selects exactly the k best samples
+        assert (c <= t).sum() == k, (frac, t, kth)
+        np.testing.assert_allclose(t, kth, rtol=1e-12)
