@@ -55,6 +55,11 @@ def _min_distance(x, y, ref_xy):
     return min(DIST_CAP, float(np.min(d)))
 
 
+# rate-limited steering slew limits (models/rate_limited_steering.py)
+STEER_MAX = 30.0 * np.pi / 180.0
+RATE_MAX = 2.6
+
+
 def _rollout_sample(model, state, u, dt):
     """Euler rollout of one sample; u is (T-1, U). Returns (T, S)."""
     horizon = u.shape[0] + 1
@@ -64,6 +69,10 @@ def _rollout_sample(model, state, u, dt):
         x, y, yaw = s[t, 0], s[t, 1], s[t, 2]
         if model == "unicycle":
             heading = yaw
+        elif model == "rate_limited_steering":
+            # position integrates with the CURRENT steering angle state;
+            # u[t, 2] is the steering RATE, slewed and box-limited
+            heading = yaw + s[t, 3]
         else:
             heading = yaw + u[t, 2]
         s[t + 1, 0] = x + u[t, 0] * np.cos(heading) * dt
@@ -72,6 +81,9 @@ def _rollout_sample(model, state, u, dt):
         if model == "full_body":
             s[t + 1, 3] = s[t, 3] + u[t, 3] * dt
             s[t + 1, 4] = s[t, 4] + u[t, 4] * dt
+        elif model == "rate_limited_steering":
+            rate = min(max(u[t, 2], -RATE_MAX), RATE_MAX)
+            s[t + 1, 3] = min(max(s[t, 3] + rate * dt, -STEER_MAX), STEER_MAX)
     return s
 
 

@@ -101,10 +101,17 @@ class _OracleParams(ctypes.Structure):
         ("inertia", ctypes.c_double * 3),
         ("gravity_z", ctypes.c_double),
         ("steer_off", ctypes.c_int),
+        ("steer_max", ctypes.c_double),
+        ("rate_max", ctypes.c_double),
     ]
 
 
-MODEL_IDS = {"unicycle": 0, "steering_unicycle": 1, "full_body": 2}
+MODEL_IDS = {
+    "unicycle": 0,
+    "steering_unicycle": 1,
+    "full_body": 2,
+    "rate_limited_steering": 3,
+}
 
 
 class RateExecutor:
@@ -229,6 +236,13 @@ def _pack_params(
     else:
         p.mass, p.base2com, p.gravity_z = 60.0, 0.8075 / 2, -9.8
     p.steer_off = int(steer_off)
+    from ccv_mppi_path_tracker_tpu.models.rate_limited_steering import (
+        RATE_MAX,
+        STEER_MAX,
+    )
+
+    p.steer_max = STEER_MAX
+    p.rate_max = RATE_MAX
     return p
 
 

@@ -260,7 +260,11 @@ void ccv_csv_close(void* h) {
 // min-baseline softmax).
 // ---------------------------------------------------------------------------
 
-enum Model { UNICYCLE = 0, STEERING = 1, FULL_BODY = 2 };
+// RATE_LIMITED: steering angle is a STATE (state[3]) and u[2] is its
+// slewed rate — the framework's rate-limited steering family
+// (models/rate_limited_steering.py; BASELINE.json "rate-limited
+// steering" config). No counterpart in the reference nodes.
+enum Model { UNICYCLE = 0, STEERING = 1, FULL_BODY = 2, RATE_LIMITED = 3 };
 
 struct OracleParams {
   double control_noise;
@@ -279,6 +283,9 @@ struct OracleParams {
   double inertia[3];
   double gravity_z;
   int steer_off;
+  // RATE_LIMITED limits (ignored by other models)
+  double steer_max;
+  double rate_max;
 };
 
 static const double kDistCap = 100.0;
@@ -320,7 +327,7 @@ void ccv_oracle_step(int model, int horizon, int num_samples, int u_dim,
   ryaw[T - 1] = ryaw[T - 2];
 
   std::vector<double> u(tm1 * U);
-  std::vector<double> xs(T), ys(T), yaws(T), rolls(T), pitches(T);
+  std::vector<double> xs(T), ys(T), yaws(T), rolls(T), pitches(T), steers(T);
   std::vector<double> zmp_y(T > 2 ? T - 2 : 0);
   double min_cost = 1e300;
 
@@ -342,14 +349,26 @@ void ccv_oracle_step(int model, int horizon, int num_samples, int u_dim,
       rolls[0] = state[3];
       pitches[0] = state[4];
     }
+    if (model == RATE_LIMITED) steers[0] = state[3];
     for (int t = 0; t < tm1; t++) {
-      double heading = yaws[t] + (model == UNICYCLE ? 0.0 : u[t * U + 2]);
+      // RATE_LIMITED integrates position with the CURRENT steering angle,
+      // then slews it by the clipped commanded rate.
+      double heading =
+          model == UNICYCLE
+              ? yaws[t]
+              : (model == RATE_LIMITED ? yaws[t] + steers[t]
+                                       : yaws[t] + u[t * U + 2]);
       xs[t + 1] = xs[t] + u[t * U] * std::cos(heading) * p->dt;
       ys[t + 1] = ys[t] + u[t * U] * std::sin(heading) * p->dt;
       yaws[t + 1] = yaws[t] + u[t * U + 1] * p->dt;
       if (model == FULL_BODY) {
         rolls[t + 1] = rolls[t] + u[t * U + 3] * p->dt;
         pitches[t + 1] = pitches[t] + u[t * U + 4] * p->dt;
+      }
+      if (model == RATE_LIMITED) {
+        double rate = clampd(u[t * U + 2], -p->rate_max, p->rate_max);
+        steers[t + 1] =
+            clampd(steers[t] + rate * p->dt, -p->steer_max, p->steer_max);
       }
     }
     // cost

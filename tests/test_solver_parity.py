@@ -153,3 +153,34 @@ def test_full_body_zmp_and_costs_parity():
         np.asarray(zmp).transpose(1, 0, 2), ora["zmp"], rtol=1e-9, atol=1e-12
     )
     np.testing.assert_allclose(np.asarray(costs), ora["costs"], rtol=1e-9)
+
+
+def test_rate_limited_steering_parity():
+    """Rate-limited steering family vs BOTH oracles (NumPy f64 + C++): the
+    steering angle is a state slewed by the clipped commanded rate
+    (models/rate_limited_steering.py; no reference counterpart — this family
+    is named by BASELINE.json's config list)."""
+    from ccv_mppi_path_tracker_tpu.core.config import rate_limited_steering_config
+    from ccv_mppi_path_tracker_tpu.runtime.native import native_oracle_step
+
+    cfgs = rate_limited_steering_config(num_samples=K, horizon=T, dtype=np.float64)
+    state = np.array([0.1, -0.2, 0.15, 0.1])  # nonzero initial steer
+    res, ora = _run_parity("rate_limited_steering", cfgs, state, (T - 1, 3))
+
+    # C++ oracle agrees with both
+    cfg, sp, cp = cfgs
+    rng = np.random.RandomState(42)
+    noise = rng.randn(T - 1, K, 3)
+    u_prev = rng.randn(T - 1, 3) * 0.1
+    cc = native_oracle_step(
+        "rate_limited_steering", u_prev, state, _course(), RESOLUTION, DT,
+        noise, control_noise=0.5, lam=1.0,
+        u_min=np.asarray(sp.u_min), u_max=np.asarray(sp.u_max),
+        v_ref=float(cp.v_ref), cp=cp,
+    )
+    np.testing.assert_allclose(cc["u_opt"], ora["u_opt"], rtol=1e-12, atol=1e-14)
+    np.testing.assert_allclose(cc["costs"], ora["costs"], rtol=1e-12)
+    # the steering state obeys both limits along every rollout
+    from ccv_mppi_path_tracker_tpu.oracle.numpy_oracle import STEER_MAX
+
+    assert np.abs(ora["states"][:, :, 3]).max() <= STEER_MAX + 1e-12
