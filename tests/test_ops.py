@@ -129,3 +129,44 @@ def test_colored_noise_kernel_matches_xla():
                      noise=noise, use_kernel=True, kernel_interpret=True)
     np.testing.assert_allclose(np.asarray(b.u_opt), np.asarray(a.u_opt),
                                rtol=2e-5, atol=2e-6)
+
+
+def test_min_sq_distance_scan_branch_matches_broadcast(monkeypatch):
+    """Force the large-problem running-min scan path (_BCAST_LIMIT=0) and
+    assert it equals the broadcast-min path exactly, under jit and under
+    shard_map (the carry must inherit xy's device-varying type)."""
+    from functools import partial
+
+    from ccv_mppi_path_tracker_tpu.ops import mindist
+
+    rng = np.random.RandomState(0)
+    xy = jnp.asarray(rng.randn(6, 32, 2) * 3.0)
+    ref = jnp.asarray(rng.randn(10, 2) * 3.0)
+    want = np.asarray(jax.jit(min_sq_distance)(xy, ref))
+
+    monkeypatch.setattr(mindist, "_BCAST_LIMIT", 0)
+    got = np.asarray(jax.jit(mindist.min_sq_distance)(xy, ref))
+    np.testing.assert_array_equal(got, want)
+
+    # shard_map over the sample axis (8 virtual devices)
+    from jax.sharding import PartitionSpec as P
+
+    from ccv_mppi_path_tracker_tpu.parallel import SAMPLES_AXIS, samples_mesh
+
+    mesh = samples_mesh(num_devices=8)
+    f = jax.jit(
+        jax.shard_map(
+            mindist.min_sq_distance,
+            mesh=mesh,
+            in_specs=(P(None, SAMPLES_AXIS, None), P()),
+            out_specs=P(None, SAMPLES_AXIS),
+        )
+    )
+    got_sh = np.asarray(f(xy, ref))
+    np.testing.assert_array_equal(got_sh, want)
+
+    # the far-point cap applies on the scan path too
+    far = jnp.full((1, 2), 1e6)
+    np.testing.assert_allclose(
+        np.asarray(mindist.min_sq_distance(far, ref))[0], 1e4
+    )
