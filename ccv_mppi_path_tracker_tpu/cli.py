@@ -53,8 +53,15 @@ def _add_run_args(p):
                    help="actuation-latency compensation in seconds: solve "
                         "from the delay-predicted state")
     p.add_argument("--elite-frac", type=float, default=None,
-                   help="keep softmax weight only on this best cost quantile "
-                        "(CEM<->MPPI interpolation; XLA path only)")
+                   help="keep softmax weight only on this best global cost "
+                        "fraction (CEM<->MPPI interpolation; works on the "
+                        "XLA, kernel, and sharded paths)")
+    p.add_argument("--animate", default=None,
+                   help="export a per-cycle animation (.html or .gif) of "
+                        "candidate/optimal/reference paths — the rviz "
+                        "live-view equivalent")
+    p.add_argument("--animate-candidates", type=int, default=24,
+                   help="candidate rollouts drawn per frame (XLA path only)")
 
 
 def _resolve(args):
@@ -113,10 +120,21 @@ def cmd_run(args):
         opts["delay"] = args.delay
     if getattr(args, "elite_frac", None) is not None:
         opts["elite_frac"] = args.elite_frac
+    animate = getattr(args, "animate", None)
+    if animate:
+        if not args.kernel:
+            # candidate rollouts are an XLA-path debug output
+            opts["debug_candidates"] = args.animate_candidates
+        extra["with_paths"] = True
     out = run_tracking_experiment(
         cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed,
         use_kernel=args.kernel, solver_options=opts or None, **extra,
     )
+    if animate:
+        from ccv_mppi_path_tracker_tpu.metrics.animate import animate_tracking
+
+        n = animate_tracking(out, animate)
+        print(f"animation: {animate} ({n} frames)")
     if args.save_ckpt:
         from ccv_mppi_path_tracker_tpu.runtime.checkpoint import save_checkpoint
 

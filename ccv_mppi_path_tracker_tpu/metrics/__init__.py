@@ -4,6 +4,7 @@ from ccv_mppi_path_tracker_tpu.metrics.tracking import (
     tracking_metrics,
 )
 from ccv_mppi_path_tracker_tpu.metrics.recorder import Recorder, read_log
+from ccv_mppi_path_tracker_tpu.metrics.animate import animate_tracking
 
 __all__ = [
     "curvature",
@@ -11,4 +12,5 @@ __all__ = [
     "tracking_metrics",
     "Recorder",
     "read_log",
+    "animate_tracking",
 ]

@@ -37,6 +37,7 @@ def build_simulate_scan(
     with_stats: bool = True,
     use_kernel: bool = False,
     solver_options: Optional[dict] = None,
+    with_paths: bool = False,
 ):
     """Build a jitted closed-loop simulation.
 
@@ -45,6 +46,11 @@ def build_simulate_scan(
     states (N, S), u0 (N, U), and solver stats (N,).
     solver_options: extra keyword options forwarded to mppi_step each cycle
     (e.g. shift_warm_start=True, delay=..., elite_frac=..., refine_steps=...).
+    with_paths: additionally log per-cycle planned xy paths — opt_xy (N, T, 2)
+    and ref_xy (N, T, 2); combine with
+    ``solver_options={"debug_candidates": M}`` (adds candidates (N, M, T, 2))
+    to feed metrics/animate.py — the live-rviz-displays equivalent
+    (config/config.rviz candidate/optimal/ref path topics).
     """
     if plant is None:
         plant = Plant(model_name=cfg.model)
@@ -62,6 +68,9 @@ def build_simulate_scan(
             log = {"state": state, "u0": res.u0}
             if with_stats:
                 log.update(res.stats)
+            if with_paths:
+                log["opt_xy"] = res.opt_states[..., :2]
+                log["ref_xy"] = res.ref.xy
             return (ctrl, state), log
 
         (ctrl, _), logs = jax.lax.scan(body, (ctrl, state0), None, length=num_steps)
@@ -168,6 +177,7 @@ def run_tracking_experiment(
     ctrl: Optional[ControllerState] = None,
     state0=None,
     solver_options: Optional[dict] = None,
+    with_paths: bool = False,
 ):
     """Run a full tracking experiment via the fused scan; return logs + metrics.
 
@@ -201,7 +211,7 @@ def run_tracking_experiment(
         )
     sim = build_simulate_scan(
         cfg, plant=plant, num_steps=num_steps, use_kernel=use_kernel,
-        solver_options=solver_options,
+        solver_options=solver_options, with_paths=with_paths,
     )
     ctrl, logs = sim(
         ctrl, jnp.asarray(state0), path, jnp.asarray(dt, dtype), sp, cp, model_params

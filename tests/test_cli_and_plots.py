@@ -199,3 +199,15 @@ def test_cli_run_with_solver_options(capsys):
     assert "RMSE Error:" in out
     rmse = float(out.split("RMSE Error:")[1].split()[0])
     assert rmse < 0.5
+
+
+def test_cli_run_animate(tmp_path):
+    out = str(tmp_path / "run.html")
+    rc = main([
+        "run", "--preset", "diff_drive", "--steps", "12",
+        "--num-samples", "64", "--animate", out,
+        "--animate-candidates", "6",
+    ])
+    assert rc == 0
+    html = open(out).read()
+    assert "animation" in html.lower() and len(html) > 10_000
