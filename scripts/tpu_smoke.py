@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""On-device TPU smoke suite for the fused Pallas kernel.
+
+The CI suite runs the kernel only in Pallas interpret mode (CPU backend,
+tests/conftest.py); two tests skip off-TPU because ``pltpu.prng_seed`` has no
+CPU lowering. This script is their hardware counterpart (VERDICT r1 item 2):
+run it on the real chip and commit its JSON output (artifacts/tpu_smoke.json)
+as evidence.
+
+Checks, all on the REAL TPU (no interpret mode):
+  1. kernel-vs-XLA parity with injected noise, every model the kernel claims;
+  2. in-kernel RNG (Box-Muller over pltpu.prng_random_bits) determinism:
+     same key -> bit-identical update, different key -> different update,
+     update finite and inside the control box;
+  3. sharded-kernel execution on a 1-device "samples" mesh;
+  4. adapt_sigma second-moment output vs the XLA path.
+
+    python scripts/tpu_smoke.py [--out artifacts/tpu_smoke.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None)
+    p.add_argument("--num-samples", type=int, default=8192)
+    p.add_argument("--horizon", type=int, default=12)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.config import rate_limited_steering_config
+    from ccv_mppi_path_tracker_tpu.core.presets import (
+        diff_drive_launch,
+        full_body_launch,
+        steering_launch,
+    )
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+    report = {
+        "device": str(jax.devices()[0]),
+        "backend": jax.default_backend(),
+        "num_samples": args.num_samples,
+        "horizon": args.horizon,
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "checks": {},
+    }
+    assert jax.default_backend() == "tpu", (
+        f"this smoke suite must run on real TPU, got {jax.default_backend()}"
+    )
+
+    T, K = args.horizon, args.num_samples
+    failures = []
+
+    def record(name, ok, detail):
+        report["checks"][name] = {"ok": bool(ok), **detail}
+        if not ok:
+            failures.append(name)
+        print(f"[{'ok' if ok else 'FAIL'}] {name}: {detail}", flush=True)
+
+    def setup(launch, u_dim, n_states, seed=2):
+        cfg, sp, cp, course = launch(num_samples=K, horizon=T, dtype=np.float32)
+        path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+        ctrl = ControllerState(
+            u_prev=jnp.asarray(
+                np.random.RandomState(1).randn(T - 1, u_dim) * 0.1, jnp.float32
+            ),
+            key=jax.random.PRNGKey(0),
+            step=jnp.zeros((), jnp.int32),
+        )
+        state = jnp.zeros(n_states, jnp.float32).at[1].set(float(course[0, 1]))
+        noise = jnp.asarray(
+            np.random.RandomState(seed).randn(T - 1, K, u_dim), jnp.float32
+        )
+        return cfg, sp, cp, path, ctrl, state, noise
+
+    def rl_launch(num_samples, horizon, dtype):
+        cfg, sp, cp = rate_limited_steering_config(
+            num_samples=num_samples, horizon=horizon, path_weight=10.0,
+            dtype=dtype,
+        )
+        _, _, _, course = diff_drive_launch()
+        return cfg, sp, cp, course
+
+    # --- 1. kernel vs XLA parity, injected noise, on hardware --------------
+    fams = [
+        ("unicycle", diff_drive_launch, 2, 3),
+        ("steering_unicycle", steering_launch, 3, 3),
+        ("rate_limited_steering", rl_launch, 3, 4),
+        ("full_body", full_body_launch, 5, 5),
+    ]
+    for name, launch, u_dim, n_states in fams:
+        cfg, sp, cp, path, ctrl, state, noise = setup(launch, u_dim, n_states)
+        dt = jnp.float32(0.1)
+        _, a = jax.jit(
+            lambda c, s, n: mppi_step(cfg, c, s, path, dt, sp, cp, noise=n)
+        )(ctrl, state, noise)
+        _, b = jax.jit(
+            lambda c, s, n: mppi_step(
+                cfg, c, s, path, dt, sp, cp, noise=n,
+                use_kernel=True, kernel_interpret=False,
+            )
+        )(ctrl, state, noise)
+        err = float(jnp.max(jnp.abs(a.u_opt - b.u_opt)))
+        scale = float(jnp.max(jnp.abs(a.u_opt))) + 1e-6
+        record(
+            f"parity_{name}", err <= 5e-4 * scale + 5e-5,
+            {"max_abs_err": err, "scale": scale},
+        )
+
+    # --- 2. in-kernel RNG determinism (the 2 CPU skips, on hardware) -------
+    cfg, sp, cp, path, ctrl, state, _ = setup(diff_drive_launch, 2, 3)
+    dt = jnp.float32(0.1)
+    krn = jax.jit(
+        lambda c, s: mppi_step(
+            cfg, c, s, path, dt, sp, cp, use_kernel=True, kernel_interpret=False
+        )
+    )
+    _, r1 = krn(ctrl, state)
+    _, r2 = krn(ctrl, state)
+    ctrl_b = ControllerState(
+        u_prev=ctrl.u_prev, key=jax.random.PRNGKey(99), step=ctrl.step
+    )
+    _, r3 = krn(ctrl_b, state)
+    same = bool(jnp.all(r1.u_opt == r2.u_opt))
+    differs = bool(jnp.any(jnp.abs(r1.u_opt - r3.u_opt) > 1e-7))
+    finite = bool(jnp.all(jnp.isfinite(r1.u_opt)))
+    in_box = bool(
+        jnp.all(r1.u_opt <= sp.u_max + 1e-6) and jnp.all(r1.u_opt >= sp.u_min - 1e-6)
+    )
+    record(
+        "kernel_rng_deterministic", same and differs and finite and in_box,
+        {"same_key_identical": same, "diff_key_differs": differs,
+         "finite": finite, "in_control_box": in_box},
+    )
+    # RNG stream is statistically sane: mean/std of the implied update stay
+    # near the XLA-RNG path's over repeated keys
+    _, rx = jax.jit(lambda c, s: mppi_step(cfg, c, s, path, dt, sp, cp))(
+        ctrl, state
+    )
+    drift = float(jnp.max(jnp.abs(r1.u_opt - rx.u_opt)))
+    record("kernel_rng_stream_sane", drift < 1.0, {"update_drift_vs_xla": drift})
+
+    # --- 3. sharded kernel on a 1-device mesh ------------------------------
+    from ccv_mppi_path_tracker_tpu.parallel import samples_mesh
+    from ccv_mppi_path_tracker_tpu.parallel.sharded import build_sharded_step
+
+    mesh = samples_mesh(num_devices=1)
+    step_sh = build_sharded_step(cfg, mesh, use_kernel=True)
+    _, rs = step_sh(ctrl, state, path, dt, sp, cp)
+    sh_ok = bool(jnp.all(jnp.isfinite(rs.u_opt)))
+    sh_match = float(jnp.max(jnp.abs(rs.u_opt - r1.u_opt)))
+    record(
+        "sharded_kernel_1dev", sh_ok and sh_match < 1e-5,
+        {"finite": sh_ok, "max_abs_vs_unsharded": sh_match},
+    )
+
+    # --- 4. adapt_sigma second moment vs XLA --------------------------------
+    cfg, sp, cp, path, ctrl, state, noise = setup(full_body_launch, 5, 5)
+    _, ax = jax.jit(
+        lambda c, s, n: mppi_step(
+            cfg, c, s, path, dt, sp, cp, noise=n, adapt_sigma=True
+        )
+    )(ctrl, state, noise)
+    _, ak = jax.jit(
+        lambda c, s, n: mppi_step(
+            cfg, c, s, path, dt, sp, cp, noise=n, adapt_sigma=True,
+            use_kernel=True, kernel_interpret=False,
+        )
+    )(ctrl, state, noise)
+    sig_err = float(
+        jnp.max(jnp.abs(ax.stats["sigma_suggest"] - ak.stats["sigma_suggest"]))
+    )
+    record("adapt_sigma_second_moment", sig_err < 5e-3, {"max_abs_err": sig_err})
+
+    # --- 5. natively-batched fleet kernel (tests/test_fleet.py TPU skip) ----
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.solver.batch import build_fleet_step, init_fleet
+
+    B, Kb, Tb = 8, 2048, 10
+    cfgf, spf, cpf, coursef = diff_drive_launch(num_samples=Kb, horizon=Tb)
+    pathf = PathBuffer.from_points(coursef, 0.1)
+    states = jnp.zeros((B, 3), jnp.float32).at[:, 1].set(float(coursef[0, 1]))
+    dtf = jnp.float32(0.1)
+    stepf = build_fleet_step(cfgf, use_kernel=True)
+    plant = jax.jit(jax.vmap(lambda s, u: get_model(cfgf.model).step(s, u, dtf)))
+    ctrls = init_fleet(cfgf, B)
+    for _ in range(40):
+        ctrls, resf = stepf(ctrls, states, pathf, dtf, spf, cpf)
+        states = plant(states, resf.u0)
+    xy = np.asarray(states)
+    d = np.min(
+        np.linalg.norm(xy[:, None, :2] - coursef[None, :, :], axis=-1), axis=1
+    )
+    record(
+        "fleet_kernel_converges",
+        bool(np.isfinite(xy).all() and (d < 0.3).all()),
+        {"max_course_dist": float(d.max()), "finite": bool(np.isfinite(xy).all())},
+    )
+
+    report["ok"] = not failures
+    report["failures"] = failures
+    out = json.dumps(report, indent=2)
+    print(out)
+    if args.out:
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            f.write(out + "\n")
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
