@@ -57,7 +57,7 @@ def test_fleet_closed_loop_converges_to_course():
 
 @pytest.mark.skipif(
     jax.default_backend() != "tpu",
-    reason="fleet kernel mode draws in-kernel RNG (pltpu.prng_seed, TPU-only)",
+    reason="fleet kernel mode draws in-kernel RNG (pltpu.prng_seed, TPU-only); hardware-executed counterpart: scripts/tpu_smoke.py fleet_kernel_converges",
 )
 def test_fleet_kernel_step_runs_and_converges():
     """Natively-batched kernel fleet: one launch for B robots; converges in

@@ -82,7 +82,7 @@ def test_kernel_steer_off_zeroes_direction():
 
 @pytest.mark.skipif(
     jax.default_backend() != "tpu",
-    reason="pltpu.prng_seed has no CPU lowering (TPU-only mode; run on device)",
+    reason="pltpu.prng_seed has no CPU lowering; hardware-executed counterpart: scripts/tpu_smoke.py (committed run: artifacts/tpu_smoke.json)",
 )
 def test_kernel_rng_mode_statistics():
     """In-kernel Box-Muller stream: mean/std of the resulting update are sane
