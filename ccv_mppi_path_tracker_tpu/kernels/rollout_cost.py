@@ -52,6 +52,21 @@ _LANES = 128
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
+# Measured crossover (BENCH_DETAIL.md): below ~3e5 state propagations per
+# update the kernel's fixed setup cost loses to the XLA pipeline (K=10240
+# T=15 is roughly a tie; K=102400 T=30 the kernel wins 5-8x).
+KERNEL_MIN_PROPS = 3 * 10**5
+
+
+def should_use_kernel(num_samples: int, horizon: int) -> bool:
+    """use_kernel="auto" policy: kernel iff the workload is big enough to
+    amortize the launch/setup cost AND K fits the smallest tile."""
+    return (
+        num_samples % (8 * _LANES) == 0
+        and num_samples * (horizon - 1) >= KERNEL_MIN_PROPS
+    )
+
+
 def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
               num_samples: int | None = None) -> int:
     """Largest tile height whose controls buffers fit the VMEM budget and

@@ -37,3 +37,51 @@ def rollout(step_fn, state0: jax.Array, controls: jax.Array, dt,
 
     _, traj = jax.lax.scan(f, state0, controls, unroll=unroll)
     return jnp.concatenate([state0[None], traj], axis=0)
+
+
+# Models whose Euler chain has no state-dependent saturation, so the rollout
+# collapses to prefix sums (rate_limited_steering clips the steering STATE
+# each step — inherently sequential — and is excluded).
+CLOSED_FORM_MODELS = ("unicycle", "steering_unicycle", "full_body")
+
+
+def rollout_closed_form(model_name: str, state0: jax.Array,
+                        controls: jax.Array, dt):
+    """Scan-free rollout via cumulative sums — same recurrence, parallel form.
+
+    The Euler chains of the unicycle/steering/full-body models are affine in
+    running integrals: yaw_t = yaw_0 + dt * sum_{s<t} w_s (independent of
+    x, y), heading_t = yaw_t (+ steer_t from the controls), then
+    x_t = x_0 + dt * sum_{s<t} v_s cos(heading_s) and likewise y; roll/pitch
+    are plain control integrals. Replacing the T-step sequential scan with
+    cumsums turns the single-trajectory optimal-sequence re-roll from ~T
+    dependent micro-fusions (~0.15 ms at T=30 on v5e — the largest non-kernel
+    term in the step, artifacts/profile_step.json) into one parallel fusion.
+
+    Float caveat: XLA's cumsum may associate differently than left-to-right
+    scan, so results agree with :func:`rollout` to round-off (~1e-6 f32 rel),
+    not bitwise — fine for the planned-path output, which no parity oracle
+    consumes (tests/test_ops.py checks agreement).
+
+    state0: (..., S); controls: (T-1, ..., U) time-major. Returns (T, ..., S).
+    """
+    assert model_name in CLOSED_FORM_MODELS, model_name
+    v, w = controls[..., 0], controls[..., 1]
+
+    def integrate(rate):
+        # (T-1, ...) rates -> (T, ...) running integral starting at 0
+        run = jnp.cumsum(rate, axis=0) * dt
+        zero = jnp.zeros_like(run[:1])
+        return jnp.concatenate([zero, run], axis=0)
+
+    yaw = state0[..., 2] + integrate(w)  # (T, ...)
+    heading = yaw[:-1]
+    if model_name != "unicycle":
+        heading = heading + controls[..., 2]
+    x = state0[..., 0] + integrate(v * jnp.cos(heading))
+    y = state0[..., 1] + integrate(v * jnp.sin(heading))
+    cols = [x, y, yaw]
+    if model_name == "full_body":
+        cols.append(state0[..., 3] + integrate(controls[..., 3]))
+        cols.append(state0[..., 4] + integrate(controls[..., 4]))
+    return jnp.stack(cols, axis=-1)

@@ -77,7 +77,11 @@ def _build_fleet_kernel_step(cfg: SolverConfig, path_axis):
         fused_sample_rollout_cost,
         pack_scalars,
     )
-    from ccv_mppi_path_tracker_tpu.ops.rollout import rollout
+    from ccv_mppi_path_tracker_tpu.ops.rollout import (
+        CLOSED_FORM_MODELS,
+        rollout,
+        rollout_closed_form,
+    )
     from ccv_mppi_path_tracker_tpu.ops.softmax_update import softmax_weights
     from ccv_mppi_path_tracker_tpu.paths.resample import resample_reference
 
@@ -124,9 +128,15 @@ def _build_fleet_kernel_step(cfg: SolverConfig, path_axis):
             jnp.sum(u_rows, axis=(-2, -1)).reshape(-1, tm1, model.num_controls)
             / jnp.sum(s_rows, axis=(-2, -1))[:, None, None]
         )
-        opt_states = jax.vmap(lambda s, u: rollout(model.step, s, u, dt))(
-            states, u_opt
-        )
+        if cfg.model in CLOSED_FORM_MODELS:
+            # scan-free planned-path re-roll (ops/rollout.py closed form)
+            opt_states = jax.vmap(
+                lambda s, u: rollout_closed_form(cfg.model, s, u, dt)
+            )(states, u_opt)
+        else:
+            opt_states = jax.vmap(lambda s, u: rollout(model.step, s, u, dt))(
+                states, u_opt
+            )
         next_ctrls = ctrls.__class__(
             u_prev=u_opt, key=carry_keys, step=ctrls.step + 1
         )

@@ -31,7 +31,11 @@ from ccv_mppi_path_tracker_tpu.core.random import next_cycle_key, shard_key
 from ccv_mppi_path_tracker_tpu.core.types import ControllerState, StepResult
 from ccv_mppi_path_tracker_tpu.models.registry import get_model
 from ccv_mppi_path_tracker_tpu.ops.costs import trajectory_costs
-from ccv_mppi_path_tracker_tpu.ops.rollout import rollout
+from ccv_mppi_path_tracker_tpu.ops.rollout import (
+    CLOSED_FORM_MODELS,
+    rollout,
+    rollout_closed_form,
+)
 from ccv_mppi_path_tracker_tpu.ops.sampling import sample_controls
 from ccv_mppi_path_tracker_tpu.ops.softmax_update import (
     softmax_weights,
@@ -174,7 +178,7 @@ def mppi_step(
             cfg, u_opt, state, ref, dt, sp, cp, model_params,
             refine_steps, refine_step_size, refine_method,
         )
-        opt_states = rollout(model.step, state, u_opt, dt)
+        opt_states = _opt_rollout(cfg.model, model, state, u_opt, dt)
         next_ctrl = ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
         return next_ctrl, StepResult(
             u_opt=u_opt, u0=u_opt[0], ref=ref, opt_states=opt_states, stats=stats
@@ -190,7 +194,13 @@ def mppi_step(
         # (each shard rolls its own K/N samples); mark the replicated start
         # state accordingly so the scan carry types line up.
         state0 = jax.lax.pcast(state0, axis_name, to="varying")
-    states = rollout(model.step, state0, u_samples, dt)  # (T, K, S)
+    if cfg.model in CLOSED_FORM_MODELS:
+        # scan-free prefix-sum rollout: removes T-1 sequential (K, S)
+        # fusions from the critical path (agrees with the scan to round-off;
+        # tests/test_ops.py, parity suite at rtol 1e-9 f64)
+        states = rollout_closed_form(cfg.model, state0, u_samples, dt)
+    else:
+        states = rollout(model.step, state0, u_samples, dt)  # (T, K, S)
 
     aux = {}
     if model.aux_from_rollout is not None:
@@ -213,13 +223,24 @@ def mppi_step(
         refine_steps, refine_step_size, refine_method,
     )
 
-    opt_states = rollout(model.step, state, u_opt, dt)  # (T, S)
+    opt_states = _opt_rollout(cfg.model, model, state, u_opt, dt)  # (T, S)
 
     next_ctrl = ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
     result = StepResult(
         u_opt=u_opt, u0=u_opt[0], ref=ref, opt_states=opt_states, stats=stats
     )
     return next_ctrl, result
+
+
+def _opt_rollout(model_name, model, state, u_opt, dt):
+    """Planned-path re-roll of the optimal sequence (the reference's
+    publish_OptimalPath re-roll, src/diff_drive_mppi.cpp:295-312). Uses the
+    scan-free cumsum form where the model admits one — the sequential T-step
+    micro-fusion chain was the largest non-kernel term in the flagship step
+    (artifacts/profile_step.json)."""
+    if model_name in CLOSED_FORM_MODELS:
+        return rollout_closed_form(model_name, state, u_opt, dt)
+    return rollout(model.step, state, u_opt, dt)
 
 
 def _sigma_suggest(m2, u_opt):
@@ -309,8 +330,18 @@ class MPPISolver:
     cycle with the measured state.
     """
 
-    def __init__(self, cfg: SolverConfig, donate: bool = True, use_kernel: bool = False):
+    def __init__(self, cfg: SolverConfig, donate: bool = True,
+                 use_kernel=False):
+        """use_kernel: False (XLA pipeline), True (fused Pallas kernel), or
+        "auto" — kernel iff the workload amortizes its launch cost
+        (kernels.should_use_kernel; measured crossover ~3e5 propagations per
+        update, BENCH_DETAIL.md) and K fits the tile."""
+        if use_kernel == "auto":
+            from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
+
+            use_kernel = should_use_kernel(cfg.num_samples, cfg.horizon)
         self.cfg = cfg
+        self.use_kernel = use_kernel
         self.model = get_model(cfg.model)
         step = functools.partial(mppi_step, cfg, use_kernel=use_kernel)
         self._step = jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -154,6 +154,38 @@ def main():
 #   scripts/multiprocess_worker.py --num-samples 131072 --horizon 30
 #   (2 processes x 4 devices vs 1 process x 8; see tests/test_multiprocess.py)
 EXTRA_SECTIONS = """
+## Flagship step breakdown + VPU roofline
+
+Ablation of the K=102400 T=30 full-body kernel step by chained-marginal
+timing of variant programs (scripts/profile_step.py; committed run:
+artifacts/profile_step.json). Same-config timings vary ~1.2-2x with relay /
+service load, so attribution comes from interleaved A/B runs:
+
+- kernel compute: ~0.52-0.59 ms (the fused sample+rollout+cost+update pass)
+- per-step dispatch/relay floor: ~0.13-0.20 ms (a trivial chained program
+  costs this much; irreducible at host-loop granularity through the tunnel)
+- everything else (resample, softmax stats, planned-path re-roll, output
+  buffers): ~0.1-0.2 ms combined after the round-2 optimizations.
+
+Round-2 optimizations: the optimal-sequence re-roll and the XLA pipeline's
+sampling rollout use a scan-free closed form (prefix sums over control
+integrals, ops/rollout.py rollout_closed_form) — interleaved A/B measured
+the XLA full-body K=102400 T=30 pipeline at 7.9 ms vs 10.1 ms for the scan
+form (-21%); the kernel path is unchanged within noise (its rollout was
+already fused). `MPPISolver(use_kernel="auto")` picks the kernel only above
+the measured ~3e5 propagations-per-update crossover.
+
+Roofline (scripts/roofline.py): this workload is VPU-bound — the only
+matmul is the K-contraction, so MXU MFU is structurally ~0. The kernel
+executes ~350 f32 vector-op equivalents per state propagation (min-distance
+scan 150, Box-Muller sampling ~120, ZMP+cost 40, Euler 26, online update 15;
+transcendentals counted at 8 ops each). At the K=1M point (4.3 G props/s)
+that sustains ~1.5e12 vector ops/s = ~39% of the v5e VPU ceiling
+(~3.85e12/s); the remaining gap is min-op serialization in the distance
+scan and transcendental latency in Box-Muller. Headroom, not stranded:
+an inverse-CDF sampler and an expanded-form distance (numerics permitting)
+could buy ~1.5x more, at parity risk documented in the kernel.
+
 ## Multi-process (multi-host-path) scaling — MEASURED
 
 Real 2-process `jax.distributed` execution (gRPC coordinator + gloo CPU

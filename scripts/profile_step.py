@@ -34,8 +34,10 @@ os.environ.setdefault(
 )
 
 
-def chain_time(step, init, iters, fetch):
-    c = init
+def chain_time(step, make_init, iters, fetch):
+    # make_init: FACTORY — the step donates its carry, so every chain needs
+    # a fresh buffer (reusing one raises InvalidArgument on the donated arg)
+    c = make_init()
     t0 = time.perf_counter()
     for _ in range(iters):
         c = step(c)
@@ -43,9 +45,9 @@ def chain_time(step, init, iters, fetch):
     return time.perf_counter() - t0
 
 
-def marginal_ms(step, init, fetch, short=8, long=72, reps=6):
-    ts = min(chain_time(step, init, short, fetch) for _ in range(reps))
-    tl = min(chain_time(step, init, long, fetch) for _ in range(reps))
+def marginal_ms(step, make_init, fetch, short=8, long=72, reps=6):
+    ts = min(chain_time(step, make_init, short, fetch) for _ in range(reps))
+    tl = min(chain_time(step, make_init, long, fetch) for _ in range(reps))
     return (tl - ts) / (long - short) * 1e3
 
 
@@ -79,16 +81,16 @@ def main():
     path = PathBuffer.from_points(course, 0.1)
     state = jnp.zeros(5, jnp.float32).at[1].set(float(course[0, 1]))
     dt = jnp.float32(0.1)
-    ctrl0 = ControllerState.initial(jax.random.PRNGKey(0), T, 5)
+    mk = lambda: ControllerState.initial(jax.random.PRNGKey(0), T, 5)
     g = jax.jit(lambda x: jnp.sum(x))
 
     results = {}
 
-    def timeit(name, step, init, fetch):
+    def timeit(name, step, make_init, fetch):
         # warm/compile
-        c = step(init)
+        c = step(make_init())
         fetch(c)
-        ms = marginal_ms(step, init, fetch, reps=args.reps)
+        ms = marginal_ms(step, make_init, fetch, reps=args.reps)
         results[name] = round(ms, 3)
         print(f"{name:12s} {ms:7.3f} ms", flush=True)
 
@@ -98,7 +100,7 @@ def main():
     timeit(
         "full",
         lambda c: full(c, state, path, dt, sp, cp)[0],
-        ctrl0,
+        mk,
         lambda c: float(g(c.u_prev)),
     )
 
@@ -116,7 +118,7 @@ def main():
         u_opt = (u_num / jnp.sum(s_row)) + 0.0 * stats["min_cost"]
         return ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
 
-    timeit("no_reroll", jax.jit(core, donate_argnums=(0,)), ctrl0,
+    timeit("no_reroll", jax.jit(core, donate_argnums=(0,)), mk,
            lambda c: float(g(c.u_prev)))
 
     # no_resample additionally drops the reference-window resample; the ref
@@ -138,7 +140,7 @@ def main():
         return ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
 
     timeit("no_resample", jax.jit(core_noresample, donate_argnums=(0,)),
-           ctrl0, lambda c: float(g(c.u_prev)))
+           mk, lambda c: float(g(c.u_prev)))
 
     # kernel_only: fused kernel + finishing sums, no softmax stats either
     def kernel_only(ctrl):
@@ -152,7 +154,7 @@ def main():
         return ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
 
     timeit("kernel_only", jax.jit(kernel_only, donate_argnums=(0,)),
-           ctrl0, lambda c: float(g(c.u_prev)))
+           mk, lambda c: float(g(c.u_prev)))
 
     # floor: trivial chained program — measures dispatch + chain latency
     floor = jax.jit(
@@ -161,7 +163,7 @@ def main():
         ),
         donate_argnums=(0,),
     )
-    timeit("floor", floor, ctrl0, lambda c: float(g(c.u_prev)))
+    timeit("floor", floor, mk, lambda c: float(g(c.u_prev)))
 
     out = {
         "num_samples": K,

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""VPU roofline accounting for the fused kernel (VERDICT r1 weak#3).
+
+MPPI has no matmul beyond the K-contraction, so MXU MFU is structurally ~0;
+the right roofline is the VPU (vector unit). This script counts the f32
+vector ops the kernel executes per state propagation — from the kernel source
+structure, not hand-waving — and combines them with measured throughput
+(BENCH_DETAIL.md / bench.py) to report sustained vector ops/s against the
+v5e VPU ceiling.
+
+Op-count model (per sample per horizon step unless noted), full_body T=30:
+  min-distance scan: R=T_ref iterations x (sub, sub, mul, fma, min) = 5R
+  velocity/backward/roll-rate/zmp terms: ~40 (incl. 2 transcendentals)
+  Euler step: ~12 + cos/sin
+  sampling (per control dim, amortized): Box-Muller pair shared by 2 draws
+    -> (log1p + sqrt + cos + sin + ~8 arith) / 2 per normal + clip/scale ~4
+Transcendentals (cos/sin/log/sqrt) are multi-pass on the VPU; we count them
+at TRANS_COST vector-op equivalents each (Mosaic lowers them to ~6-10 op
+polynomial/range-reduction sequences).
+
+    python scripts/roofline.py --measured-gprops 2.5 --horizon 30
+"""
+
+import argparse
+import json
+
+# v5e TensorCore VPU: 4 ALUs x (8 sublanes x 128 lanes) x ~0.94 GHz
+# ~= 3.85e12 f32 vector ops/s (public "How to Scale Your Model" v5e tables).
+V5E_VPU_OPS = 4 * 8 * 128 * 0.94e9
+TRANS_COST = 8  # vector-op equivalents per transcendental
+
+
+def ops_per_prop(model: str, horizon: int, u_dim: int) -> dict:
+    R = horizon  # reference window length = horizon
+    mindist = 5 * R
+    if model == "full_body":
+        cost_terms = 24 + 2 * TRANS_COST  # zmp chain incl. cos/sin(direction)
+        euler = 10 + 2 * TRANS_COST  # cos/sin(heading), 5 integrals
+    elif model in ("steering_unicycle", "rate_limited_steering"):
+        cost_terms = 4
+        euler = 8 + 2 * TRANS_COST
+    else:
+        cost_terms = 4
+        euler = 6 + 2 * TRANS_COST
+    # sampling per (t, u): half a Box-Muller pair + scale/clip
+    bm_pair = 2 * TRANS_COST + TRANS_COST + TRANS_COST + 8  # log1p,sqrt,cos,sin,arith
+    sampling = u_dim * (bm_pair / 2 + 4)
+    # online update accumulation per (t, u): w*u fma into the partial block
+    update = u_dim * 3
+    total = mindist + cost_terms + euler + sampling + update
+    return {
+        "mindist": mindist,
+        "cost_terms": cost_terms,
+        "euler": euler,
+        "sampling": round(sampling, 1),
+        "update": update,
+        "total": round(total, 1),
+    }
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="full_body")
+    p.add_argument("--horizon", type=int, default=30)
+    p.add_argument("--u-dim", type=int, default=5)
+    p.add_argument("--measured-gprops", type=float, required=True,
+                   help="measured G state-propagations/s (bench.py)")
+    args = p.parse_args()
+
+    ops = ops_per_prop(args.model, args.horizon, args.u_dim)
+    sustained = args.measured_gprops * 1e9 * ops["total"]
+    out = {
+        "model": args.model,
+        "horizon": args.horizon,
+        "ops_per_propagation": ops,
+        "measured_gprops_per_s": args.measured_gprops,
+        "sustained_vector_ops_per_s": f"{sustained:.3e}",
+        "v5e_vpu_ceiling_ops_per_s": f"{V5E_VPU_OPS:.3e}",
+        "vpu_utilization_pct": round(100 * sustained / V5E_VPU_OPS, 1),
+        "note": "transcendentals counted at 8 vector-op equivalents; "
+                "MXU MFU is structurally ~0 for this workload",
+    }
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -170,3 +170,32 @@ def test_min_sq_distance_scan_branch_matches_broadcast(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(mindist.min_sq_distance(far, ref))[0], 1e4
     )
+
+
+def test_rollout_closed_form_matches_scan():
+    """Scan-free cumsum rollout == sequential scan rollout (round-off), for
+    every model that admits the closed form, single and batched."""
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.ops.rollout import (
+        CLOSED_FORM_MODELS,
+        rollout,
+        rollout_closed_form,
+    )
+
+    rng = np.random.RandomState(0)
+    dt = 0.1
+    for model_name in CLOSED_FORM_MODELS:
+        m = get_model(model_name)
+        u = jnp.asarray(rng.randn(12, m.num_controls) * 0.5)
+        s0 = jnp.asarray(rng.randn(m.num_states) * 0.3)
+        a = rollout(m.step, s0, u, dt)
+        b = rollout_closed_form(model_name, s0, u, dt)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-9, atol=1e-12)
+        # batched (T-1, K, U)
+        uk = jnp.asarray(rng.randn(12, 16, m.num_controls) * 0.5)
+        s0k = jnp.broadcast_to(s0, (16, m.num_states))
+        ak = rollout(m.step, s0k, uk, dt)
+        bk = rollout_closed_form(model_name, s0k, uk, dt)
+        np.testing.assert_allclose(np.asarray(bk), np.asarray(ak),
+                                   rtol=1e-9, atol=1e-12)

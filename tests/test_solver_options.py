@@ -378,3 +378,18 @@ def test_elite_threshold_is_kth_order_statistic():
         # (k+1)-th, so `cost <= t` selects exactly the k best samples
         assert (c <= t).sum() == k, (frac, t, kth)
         np.testing.assert_allclose(t, kth, rtol=1e-12)
+
+
+def test_use_kernel_auto_policy():
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
+    from ccv_mppi_path_tracker_tpu.solver import MPPISolver
+
+    # small workload or tile-incompatible K -> XLA; big + aligned -> kernel
+    assert not should_use_kernel(1000, 15)      # K not a tile multiple
+    assert not should_use_kernel(10240, 15)     # below the crossover
+    assert should_use_kernel(102400, 30)
+    cfg, sp, cp, course = diff_drive_launch(num_samples=102400, horizon=30)
+    assert MPPISolver(cfg, use_kernel="auto").use_kernel is True
+    cfg2, *_ = diff_drive_launch(num_samples=1000, horizon=15)
+    assert MPPISolver(cfg2, use_kernel="auto").use_kernel is False
