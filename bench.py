@@ -38,7 +38,8 @@ def _chain_time(f, make_ctrl, args, fetch, iters):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="full_body",
-                   choices=["unicycle", "steering_unicycle", "full_body"])
+                   choices=["unicycle", "steering_unicycle",
+                            "rate_limited_steering", "full_body"])
     p.add_argument("--num-samples", type=int, default=102_400)
     p.add_argument("--horizon", type=int, default=30)
     p.add_argument("--short", type=int, default=8)
@@ -68,9 +69,21 @@ def main():
     from ccv_mppi_path_tracker_tpu.paths import PathBuffer
     from ccv_mppi_path_tracker_tpu.solver import mppi_step
 
+    def rate_limited_launch(num_samples, horizon):
+        from ccv_mppi_path_tracker_tpu.core.config import (
+            rate_limited_steering_config,
+        )
+
+        cfg, sp, cp = rate_limited_steering_config(
+            num_samples=num_samples, horizon=horizon, path_weight=10.0
+        )
+        _, _, _, course = diff_drive_launch()
+        return cfg, sp, cp, course
+
     launch = {
         "unicycle": diff_drive_launch,
         "steering_unicycle": steering_launch,
+        "rate_limited_steering": rate_limited_launch,
         "full_body": full_body_launch,
     }[args.model]
     use_kernel = not args.no_kernel
