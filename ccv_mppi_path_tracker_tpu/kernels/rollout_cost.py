@@ -74,7 +74,10 @@ def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
     # controls live in a single (not double-buffered) VMEM scratch; in parity
     # mode the noise input block is double-buffered by the pipeline on top.
     factor = 3 if with_noise_input else 1
-    for rows in (64, 32, 16, 8):
+    # Candidates step by the 8-sublane vreg height. Non-power-of-two heights
+    # matter: K=102400 is 800 lane-rows, which 64 doesn't divide but 40 does —
+    # without them the flagship config would fall all the way to rows=32.
+    for rows in (64, 56, 48, 40, 32, 24, 16, 8):
         if factor * (horizon - 1) * u_dim * rows * _LANES * 4 > _VMEM_BUDGET:
             continue
         if num_samples is not None and num_samples % (rows * _LANES) != 0:
