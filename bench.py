@@ -51,6 +51,10 @@ def main():
                         "sustained load)")
     p.add_argument("--no-kernel", action="store_true",
                    help="use the XLA pipeline instead of the Pallas kernel")
+    p.add_argument("--lean", action="store_true",
+                   help="serving mode: StepResult carries only u_opt/u0 "
+                        "(drops ~10-20 us/buffer of per-step output "
+                        "allocation; solver math identical)")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
@@ -94,7 +98,8 @@ def main():
     dt = jnp.float32(0.1)
 
     step = jax.jit(
-        functools.partial(mppi_step, cfg, use_kernel=use_kernel),
+        functools.partial(mppi_step, cfg, use_kernel=use_kernel,
+                          lean=args.lean),
         donate_argnums=(0,),
     )
     g = jax.jit(lambda x: jnp.sum(x))
@@ -131,6 +136,7 @@ def main():
         "num_samples": args.num_samples,
         "horizon": args.horizon,
         "kernel": use_kernel,
+        "lean": args.lean,
         "step_ms": round(per_step * 1e3, 3),
         "replan_hz": round(1.0 / per_step, 1),
         "compile_s": round(compile_s, 1),

@@ -75,6 +75,10 @@ class StepResult:
     opt_states: (T, S) rollout of the optimal sequence from the current state
         (reference publish_OptimalPath, src/diff_drive_mppi.cpp:295-312).
     stats: dict of scalar diagnostics (min/mean cost, ESS, weight entropy).
+
+    In ``mppi_step(..., lean=True)`` serving mode ``ref``/``opt_states`` are
+    None and ``stats`` is empty (diagnostics dropped to minimize per-step
+    output-buffer allocation); ``u_opt``/``u0`` are unchanged.
     """
 
     u_opt: jax.Array

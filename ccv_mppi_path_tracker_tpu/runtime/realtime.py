@@ -40,11 +40,15 @@ def run_realtime_experiment(
     record_path: Optional[str] = None,
     model_params=None,
     resolution: float = 0.1,
+    lean: bool = True,
 ):
     """Track ``course`` at a fixed wall-clock rate with an in-process plant.
 
     Returns {"metrics", "rate_stats", "logs"}. The plant is stepped with the
     measured dt (like the real robot integrating in real time).
+    lean: run the solver in serving mode (StepResult carries only u_opt/u0;
+    the control path here reads nothing else) — saves ~0.1 ms/cycle of
+    output-buffer allocation at large K (solver/mppi.py ``lean``).
     """
     from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
     from ccv_mppi_path_tracker_tpu.runtime.native import (
@@ -55,7 +59,7 @@ def run_realtime_experiment(
     path = PathBuffer.from_points(course, resolution, dtype=np.float32)
     loop = ControlLoop(
         cfg=cfg, sp=sp, cp=cp, path=path, model_params=model_params,
-        nominal_dt=1.0 / hz,
+        nominal_dt=1.0 / hz, solver_options={"lean": True} if lean else None,
     )
     model = get_model(cfg.model)
     plant = get_model(cfg.model)

@@ -66,6 +66,7 @@ def mppi_step(
     shift_warm_start: bool = False,
     delay: Optional[float] = None,
     elite_frac: Optional[float] = None,
+    lean: bool = False,
 ):
     """Run one MPPI control cycle. Returns (next ControllerState, StepResult).
 
@@ -115,7 +116,16 @@ def mppi_step(
         ops/softmax_update.py elite_threshold) and fused-kernel (a second
         kernel pass re-accumulates the update with the sub-threshold mask;
         the per-tile PRNG reseed makes the regenerated samples identical).
+    lean: serving mode — return a StepResult carrying only the actuation
+        outputs (u_opt, u0; ref/opt_states None, stats empty except
+        sigma_suggest when adapt_sigma). u_opt/u0 are bit-identical to the
+        full result; only diagnostics are dropped. Each jit output buffer
+        costs ~10-20 us of per-step allocation through this environment's
+        device relay (artifacts/profile_step.json "result_outputs"), so the
+        host-loop serving path saves ~0.1-0.15 ms/cycle at the flagship
+        config. Incompatible with debug_candidates.
     """
+    assert not (lean and debug_candidates), "lean drops debug outputs"
     model = get_model(cfg.model)
     if model_params is None:
         model_params = model.default_params
@@ -178,8 +188,10 @@ def mppi_step(
             cfg, u_opt, state, ref, dt, sp, cp, model_params,
             refine_steps, refine_step_size, refine_method,
         )
-        opt_states = _opt_rollout(cfg.model, model, state, u_opt, dt)
         next_ctrl = ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
+        if lean:
+            return next_ctrl, _lean_result(u_opt, stats, adapt_sigma)
+        opt_states = _opt_rollout(cfg.model, model, state, u_opt, dt)
         return next_ctrl, StepResult(
             u_opt=u_opt, u0=u_opt[0], ref=ref, opt_states=opt_states, stats=stats
         )
@@ -223,13 +235,24 @@ def mppi_step(
         refine_steps, refine_step_size, refine_method,
     )
 
-    opt_states = _opt_rollout(cfg.model, model, state, u_opt, dt)  # (T, S)
-
     next_ctrl = ControllerState(u_prev=u_opt, key=carry_key, step=ctrl.step + 1)
+    if lean:
+        return next_ctrl, _lean_result(u_opt, stats, adapt_sigma)
+    opt_states = _opt_rollout(cfg.model, model, state, u_opt, dt)  # (T, S)
     result = StepResult(
         u_opt=u_opt, u0=u_opt[0], ref=ref, opt_states=opt_states, stats=stats
     )
     return next_ctrl, result
+
+
+def _lean_result(u_opt, stats, adapt_sigma):
+    """Serving-mode StepResult: actuation outputs only (see ``lean``)."""
+    keep = {}
+    if adapt_sigma:
+        keep["sigma_suggest"] = stats["sigma_suggest"]
+    return StepResult(
+        u_opt=u_opt, u0=u_opt[0], ref=None, opt_states=None, stats=keep
+    )
 
 
 def _opt_rollout(model_name, model, state, u_opt, dt):

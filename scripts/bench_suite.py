@@ -158,22 +158,35 @@ EXTRA_SECTIONS = """
 
 Ablation of the K=102400 T=30 full-body kernel step by chained-marginal
 timing of variant programs (scripts/profile_step.py; committed run:
-artifacts/profile_step.json). Same-config timings vary ~1.2-2x with relay /
-service load, so attribution comes from interleaved A/B runs:
+artifacts/profile_step.json, raw per-rep marginals included). Same-config
+timings vary ~1.2-2x with relay / service load; the script times all rungs
+interleaved with paired short/long chains and a trimmed estimator, but
+slices below ~0.1 ms are still at the noise floor — treat the small deltas
+as bounds, not point values:
 
-- kernel compute: ~0.52-0.59 ms (the fused sample+rollout+cost+update pass)
-- per-step dispatch/relay floor: ~0.13-0.20 ms (a trivial chained program
+- kernel compute: ~0.45-0.59 ms (the fused sample+rollout+cost+update pass)
+- per-step dispatch/relay floor: ~0.08-0.20 ms (a trivial chained program
   costs this much; irreducible at host-loop granularity through the tunnel)
-- everything else (resample, softmax stats, planned-path re-roll, output
-  buffers): ~0.1-0.2 ms combined after the round-2 optimizations.
+- result-output materialization: ~0.1 ms — each jit output buffer costs
+  ~10-20 us through the relay (measured by a 3-output vs 9-output floor
+  program: 0.11 vs 0.16-0.20 ms). `mppi_step(lean=True)` drops the
+  diagnostic outputs: same-load bench.py A/B measured 0.869 ms lean vs
+  0.968 ms full (replan 1150 vs 1034 Hz).
+- re-roll compute: ~0 — the closed-form cumsum re-roll is free next to the
+  kernel (stubbing it to zeros changes nothing outside noise); resample and
+  softmax stats are each <0.05 ms.
 
 Round-2 optimizations: the optimal-sequence re-roll and the XLA pipeline's
 sampling rollout use a scan-free closed form (prefix sums over control
 integrals, ops/rollout.py rollout_closed_form) — interleaved A/B measured
 the XLA full-body K=102400 T=30 pipeline at 7.9 ms vs 10.1 ms for the scan
 form (-21%); the kernel path is unchanged within noise (its rollout was
-already fused). `MPPISolver(use_kernel="auto")` picks the kernel only above
-the measured ~3e5 propagations-per-update crossover.
+already fused). Kernel tile heights now include non-power-of-two candidates
+(kernels/rollout_cost.py tile_rows): K=102400 is 800 lane-rows, which 64
+does not divide but 40 does — rows=40 vs the old fallback rows=32 measured
+0.91 vs 1.15 ms (interleaved min-of-6) at the flagship config.
+`MPPISolver(use_kernel="auto")` picks the kernel only above the measured
+~3e5 propagations-per-update crossover.
 
 Roofline (scripts/roofline.py): this workload is VPU-bound — the only
 matmul is the K-contraction, so MXU MFU is structurally ~0. The kernel

@@ -7,7 +7,17 @@ methodology as bench.py) a ladder of step variants, each chained through its
 own output so the device must execute serially:
 
   full        complete mppi_step (kernel path) — the headline workload
-  no_reroll   minus the optimal-sequence re-roll (opt_states scan)
+  lean        mppi_step(lean=True) — identical solver math, StepResult
+              carries only u_opt/u0. full - lean is the direct per-step cost
+              of materializing the diagnostic output buffers (ref window,
+              planned path, cost stats) through the relay
+  stub_reroll full step with _opt_rollout returning zeros — isolates the
+              re-roll COMPUTE from the StepResult output materialization
+              (same output pytree, no cumsum work)
+  no_reroll   ControllerState-only core (kernel + softmax stats + finish):
+              drops the re-roll AND the StepResult outputs — the delta vs
+              stub_reroll is the per-step cost of materializing the result
+              buffers (u_opt/u0/ref/opt_states/stats) through the relay
   no_resample minus resample_reference (reference window precomputed)
   kernel_only just the fused kernel + the finishing partial-sum reduction
   floor       a trivial chained add — the per-step dispatch/relay floor
@@ -45,10 +55,7 @@ def chain_time(step, make_init, iters, fetch):
     return time.perf_counter() - t0
 
 
-def marginal_ms(step, make_init, fetch, short=8, long=72, reps=6):
-    ts = min(chain_time(step, make_init, short, fetch) for _ in range(reps))
-    tl = min(chain_time(step, make_init, long, fetch) for _ in range(reps))
-    return (tl - ts) / (long - short) * 1e3
+SHORT, LONG = 8, 72
 
 
 def main():
@@ -84,15 +91,17 @@ def main():
     mk = lambda: ControllerState.initial(jax.random.PRNGKey(0), T, 5)
     g = jax.jit(lambda x: jnp.sum(x))
 
-    results = {}
+    # Rungs register (compile + warm) first, then all are timed INTERLEAVED
+    # round-robin — service load through the relay drifts on the ~minute
+    # scale, so sequentially-timed rungs would alias that drift into the
+    # attribution deltas. Interleaving puts every variant under the same
+    # load profile; min-over-reps then strips the additive noise.
+    variants = {}
 
     def timeit(name, step, make_init, fetch):
-        # warm/compile
         c = step(make_init())
         fetch(c)
-        ms = marginal_ms(step, make_init, fetch, reps=args.reps)
-        results[name] = round(ms, 3)
-        print(f"{name:12s} {ms:7.3f} ms", flush=True)
+        variants[name] = (step, make_init, fetch)
 
     # --- full step ----------------------------------------------------------
     full = jax.jit(functools.partial(mppi_step, cfg, use_kernel=True),
@@ -104,8 +113,39 @@ def main():
         lambda c: float(g(c.u_prev)),
     )
 
+    lean_step = jax.jit(
+        functools.partial(mppi_step, cfg, use_kernel=True, lean=True),
+        donate_argnums=(0,),
+    )
+    timeit(
+        "lean",
+        lambda c: lean_step(c, state, path, dt, sp, cp)[0],
+        mk,
+        lambda c: float(g(c.u_prev)),
+    )
+
+    # stub_reroll: the full step with the optimal-sequence re-roll replaced
+    # by a zeros constant — identical output pytree, so the delta vs "full"
+    # is the re-roll COMPUTE alone (measured ~0: the closed-form cumsum is
+    # free next to the kernel).
+    from ccv_mppi_path_tracker_tpu.solver import mppi as _mppi_mod
+
+    _orig_opt_rollout = _mppi_mod._opt_rollout
+    _mppi_mod._opt_rollout = (
+        lambda mn, m, s, u, d: jnp.zeros((T, 5), jnp.float32)
+    )
+    stub = jax.jit(functools.partial(mppi_step, cfg, use_kernel=True),
+                   donate_argnums=(0,))
+    timeit(
+        "stub_reroll",
+        lambda c: stub(c, state, path, dt, sp, cp)[0],
+        mk,
+        lambda c: float(g(c.u_prev)),
+    )
+    _mppi_mod._opt_rollout = _orig_opt_rollout
+
     # no_reroll: key chain + resample + kernel + softmax stats + finish,
-    # WITHOUT the optimal-sequence re-roll
+    # WITHOUT the optimal-sequence re-roll or the StepResult outputs
     def core(ctrl):
         carry_key, use_key = next_cycle_key(ctrl.key)
         ref = resample_reference(path, state[:2], cp.v_ref, dt, cfg.horizon)
@@ -165,14 +205,43 @@ def main():
     )
     timeit("floor", floor, mk, lambda c: float(g(c.u_prev)))
 
+    # Each rep measures a variant's (short, long) chain back-to-back — the
+    # pair sits in the same load regime, so its marginal is (load factor) x
+    # (true marginal); min over reps picks the least-loaded regime. Taking
+    # min(long) - min(short) across DIFFERENT reps instead can pair
+    # incompatible regimes and even go negative.
+    marginals = {n: [] for n in variants}
+    for _ in range(args.reps):
+        for n, (s, mi, f) in variants.items():
+            ts = chain_time(s, mi, SHORT, f)
+            tl = chain_time(s, mi, LONG, f)
+            marginals[n].append((tl - ts) / (LONG - SHORT) * 1e3)
+    # Robust location: the raw min can UNDERSHOOT (a load spike during the
+    # short chain but not the long one deflates that rep's marginal), so use
+    # the mean of the 2nd..4th smallest reps — insensitive to both the
+    # deflated-min fluke and the inflated tail.
+    results = {}
+    raw = {}
+    for n in variants:
+        s = sorted(marginals[n])
+        ms = sum(s[1:4]) / len(s[1:4])
+        results[n] = round(ms, 3)
+        raw[n] = [round(v, 3) for v in marginals[n]]
+        print(f"{n:12s} {ms:7.3f} ms  (reps: "
+              + " ".join(f"{v:.3f}" for v in marginals[n]) + ")", flush=True)
+
     out = {
         "num_samples": K,
         "horizon": T,
         "device": str(jax.devices()[0]),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "ms": results,
+        "rep_marginals_ms": raw,
         "attribution_ms": {
-            "reroll": round(results["full"] - results["no_reroll"], 3),
+            "reroll_compute": round(
+                results["full"] - results["stub_reroll"], 3
+            ),
+            "result_outputs": round(results["full"] - results["lean"], 3),
             "resample": round(results["no_reroll"] - results["no_resample"], 3),
             "softmax_stats": round(
                 results["no_resample"] - results["kernel_only"], 3

@@ -393,3 +393,42 @@ def test_use_kernel_auto_policy():
     assert MPPISolver(cfg, use_kernel="auto").use_kernel is True
     cfg2, *_ = diff_drive_launch(num_samples=1000, horizon=15)
     assert MPPISolver(cfg2, use_kernel="auto").use_kernel is False
+
+
+def test_lean_mode_matches_full_result():
+    """Serving mode (lean=True) must return bit-identical u_opt/u0 and an
+    identical next ControllerState; only diagnostics are dropped."""
+    cfg, sp, cp, course = diff_drive_launch(num_samples=256, horizon=12)
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(3), 12, 2)
+    state = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    dt = jnp.float32(0.1)
+
+    for use_kernel in (False, True):
+        kw = dict(use_kernel=use_kernel)
+        if use_kernel:
+            cfgk, spk, cpk, _ = diff_drive_launch(num_samples=4096, horizon=12)
+            args = (cfgk, ctrl, state, path, dt, spk, cpk)
+            kw["kernel_interpret"] = True
+            # interpret mode has no pltpu PRNG — inject the noise
+            kw["noise"] = jnp.asarray(
+                np.random.RandomState(7).randn(11, 4096, 2), jnp.float32
+            )
+        else:
+            args = (cfg, ctrl, state, path, dt, sp, cp)
+        c_full, full = mppi_step(*args, **kw)
+        c_lean, leanr = mppi_step(*args, lean=True, **kw)
+        np.testing.assert_array_equal(np.asarray(full.u_opt),
+                                      np.asarray(leanr.u_opt))
+        np.testing.assert_array_equal(np.asarray(full.u0), np.asarray(leanr.u0))
+        np.testing.assert_array_equal(np.asarray(c_full.u_prev),
+                                      np.asarray(c_lean.u_prev))
+        assert leanr.ref is None and leanr.opt_states is None
+        assert leanr.stats == {}
+    # adapt_sigma keeps its feedback output in lean mode
+    _, r = mppi_step(cfg, ctrl, state, path, dt, sp, cp, lean=True,
+                     adapt_sigma=True)
+    assert set(r.stats) == {"sigma_suggest"}
+    # lean result flattens to just the two actuation leaves + sigma
+    leaves = jax.tree_util.tree_leaves(r)
+    assert len(leaves) == 3
