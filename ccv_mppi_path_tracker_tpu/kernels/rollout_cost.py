@@ -53,8 +53,11 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 
 
 # Measured crossover (BENCH_DETAIL.md): below ~3e5 state propagations per
-# update the kernel's fixed setup cost loses to the XLA pipeline (K=10240
-# T=15 is roughly a tie; K=102400 T=30 the kernel wins 5-8x).
+# update the kernel's fixed setup cost loses to the XLA pipeline. With the
+# non-power-of-two tile heights the kernel also wins at K=10240 T=15 for
+# full_body (0.43 vs 0.77 ms) but still loses for the cheap 2-3 control
+# models at that size; the threshold stays conservative so "auto" never
+# picks a slower path.
 KERNEL_MIN_PROPS = 3 * 10**5
 
 

@@ -126,6 +126,12 @@ def main():
         f.write("# Benchmark detail (TPU v5e, 1 chip; chained-marginal timing)\n\n")
         f.write("Full control update: sample + rollout (+ZMP) + cost + softmax "
                 "+ update.\n\n")
+        f.write("Chained-marginal, min over reps: the relay overlaps host "
+                "dispatch with device execution inside a chain, so small-"
+                "config marginals can undershoot the single-step dispatch "
+                "floor; treat rows under ~0.3 ms as device-time estimates "
+                "with ~1.2-2x run-to-run load variance (see the breakdown "
+                "section).\n\n")
         f.write("| model | K | T | path | ms/update | G prop/s | replan Hz |\n")
         f.write("|---|---|---|---|---|---|---|\n")
         for r in rows:
