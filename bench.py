@@ -67,22 +67,12 @@ def main():
 
     from ccv_mppi_path_tracker_tpu.core import ControllerState
     from ccv_mppi_path_tracker_tpu.core.presets import (
-        diff_drive_launch, full_body_launch, steering_launch,
+        diff_drive_launch, full_body_launch, rate_limited_launch,
+        steering_launch,
     )
     from ccv_mppi_path_tracker_tpu.models import get_model
     from ccv_mppi_path_tracker_tpu.paths import PathBuffer
     from ccv_mppi_path_tracker_tpu.solver import mppi_step
-
-    def rate_limited_launch(num_samples, horizon):
-        from ccv_mppi_path_tracker_tpu.core.config import (
-            rate_limited_steering_config,
-        )
-
-        cfg, sp, cp = rate_limited_steering_config(
-            num_samples=num_samples, horizon=horizon, path_weight=10.0
-        )
-        _, _, _, course = diff_drive_launch()
-        return cfg, sp, cp, course
 
     launch = {
         "unicycle": diff_drive_launch,

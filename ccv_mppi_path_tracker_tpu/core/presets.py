@@ -20,6 +20,7 @@ import numpy as np
 from ccv_mppi_path_tracker_tpu.core.config import (
     diff_drive_config,
     full_body_config,
+    rate_limited_steering_config,
     steering_diff_drive_config,
 )
 from ccv_mppi_path_tracker_tpu.paths.courses import sum_of_cosines_course
@@ -80,8 +81,20 @@ def full_body_launch(num_samples=10000, horizon=15, dtype=np.float32, roll_off=T
     return cfg, sp, cp, _course(1.5, 0.127, 20.0, dtype)
 
 
+def rate_limited_launch(num_samples=10000, horizon=15, dtype=np.float32):
+    """Tuned operating point for the rate-limited steering family (a
+    beyond-reference model, BASELINE.md) on the diff-drive course. Single
+    home for the config bench.py / bench_suite.py / tpu_smoke.py share."""
+    cfg, sp, cp = rate_limited_steering_config(
+        num_samples=num_samples, horizon=horizon, path_weight=10.0,
+        dtype=dtype,
+    )
+    return cfg, sp, cp, _course(1.0, 0.25, 10.0, dtype)
+
+
 PRESETS = {
     "diff_drive": diff_drive_launch,
     "steering_diff_drive": steering_launch,
     "full_body": full_body_launch,
+    "rate_limited_steering": rate_limited_launch,
 }

@@ -61,11 +61,19 @@ _VMEM_BUDGET = 12 * 1024 * 1024
 KERNEL_MIN_PROPS = 3 * 10**5
 
 
-def should_use_kernel(num_samples: int, horizon: int) -> bool:
+def should_use_kernel(num_samples: int, horizon: int,
+                      backend: Optional[str] = None) -> bool:
     """use_kernel="auto" policy: kernel iff the workload is big enough to
-    amortize the launch/setup cost AND K fits the smallest tile."""
+    amortize the launch/setup cost, K fits the smallest tile, AND the
+    default backend is a real TPU — off-TPU the RNG-mode kernel cannot run
+    (``pltpu.prng_seed`` has no CPU/GPU lowering; interpret mode is for
+    noise-injected parity tests, not serving) and would be far slower even
+    if it lowered. ``backend`` overrides the detected default (tests)."""
+    if backend is None:
+        backend = jax.default_backend()
     return (
-        num_samples % (8 * _LANES) == 0
+        backend == "tpu"
+        and num_samples % (8 * _LANES) == 0
         and num_samples * (horizon - 1) >= KERNEL_MIN_PROPS
     )
 
@@ -138,7 +146,8 @@ def _make_normal_stream(shape):
 
 def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                  with_noise_input: bool, steer_off: bool, rows: int,
-                 batched: bool = False, second_moment: bool = False):
+                 batched: bool = False, second_moment: bool = False,
+                 accumulate: bool = True):
     tm1 = horizon - 1
     cap2 = DIST_CAP * DIST_CAP
     _ROWS = rows
@@ -336,6 +345,11 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         co[...] = cost
 
         # --- online softmax-weighted update ------------------------------
+        # accumulate=False (the costs-only pass of the two-pass elite_frac
+        # flow) skips it entirely: the acc output stays at its _init zeros
+        # and the caller reads only the cost vector.
+        if not accumulate:
+            return
         lam = sc(16)
         tile_min = jnp.min(cost)
         m_prev = m_ref[0]
@@ -391,8 +405,14 @@ def fused_sample_rollout_cost(
     interpret: bool = False,
     vma_axis: Optional[str] = None,
     second_moment: bool = False,
+    accumulate: bool = True,
 ):
     """Run the fused kernel.
+
+    accumulate=False skips the online softmax-weighted update: the partial
+    outputs come back all-zero and only the cost vector is meaningful — used
+    for the first (threshold-finding) pass of the two-pass elite_frac flow,
+    whose accumulation would be discarded.
 
     u_prev: (T-1, U) f32; ref_xy: (T_ref, 2); state0: (S,); scal: (_NSCAL,);
     seed: (1,) int32; noise (optional, parity mode): (T-1, U, K/128, 128).
@@ -425,7 +445,7 @@ def fused_sample_rollout_cost(
 
     kernel = _make_kernel(
         model, horizon, num_ref, u_dim, noise is not None, steer_off, rows,
-        batched=batched, second_moment=second_moment,
+        batched=batched, second_moment=second_moment, accumulate=accumulate,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

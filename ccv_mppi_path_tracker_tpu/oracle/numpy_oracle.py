@@ -55,9 +55,12 @@ def _min_distance(x, y, ref_xy):
     return min(DIST_CAP, float(np.min(d)))
 
 
-# rate-limited steering slew limits (models/rate_limited_steering.py)
-STEER_MAX = 30.0 * np.pi / 180.0
-RATE_MAX = 2.6
+# rate-limited steering slew limits — single source of truth is the model
+# module; re-declaring them here risked silent drift if the model is retuned
+from ccv_mppi_path_tracker_tpu.models.rate_limited_steering import (  # noqa: E402
+    RATE_MAX,
+    STEER_MAX,
+)
 
 
 def _rollout_sample(model, state, u, dt):

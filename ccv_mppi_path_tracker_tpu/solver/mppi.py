@@ -149,6 +149,9 @@ def mppi_step(
         costs, u_rows, s_row, u2_rows = _kernel_sample_rollout_cost(
             cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise,
             k_local, kernel_interpret, axis_name, second_moment=adapt_sigma,
+            # with elite_frac this first pass only finds the threshold — its
+            # update accumulation would be discarded, so skip it in-kernel
+            accumulate=elite_frac is None,
         )
         _, stats = softmax_weights(
             costs, sp.lam, axis_name=axis_name, elite_frac=elite_frac
@@ -301,6 +304,7 @@ def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
 def _kernel_sample_rollout_cost(
     cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
     kernel_interpret, axis_name=None, second_moment=False, cost_thresh=None,
+    accumulate=True,
 ):
     """Bridge the fused Pallas kernel into the step: returns (costs,
     per-lane weighted-update partials, per-lane normalizer partials,
@@ -339,6 +343,7 @@ def _kernel_sample_rollout_cost(
         interpret=kernel_interpret,
         vma_axis=axis_name,
         second_moment=second_moment,
+        accumulate=accumulate,
     )
     if second_moment:
         return out

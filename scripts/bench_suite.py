@@ -21,18 +21,10 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
 
 from ccv_mppi_path_tracker_tpu.core import ControllerState
-from ccv_mppi_path_tracker_tpu.core.config import rate_limited_steering_config
 from ccv_mppi_path_tracker_tpu.core.presets import (
-    diff_drive_launch, full_body_launch, steering_launch,
+    diff_drive_launch, full_body_launch, rate_limited_launch,
+    steering_launch,
 )
-
-
-def rate_limited_launch(num_samples=10000, horizon=15):
-    cfg, sp, cp = rate_limited_steering_config(
-        num_samples=num_samples, horizon=horizon, path_weight=10.0
-    )
-    _, _, _, course = diff_drive_launch()
-    return cfg, sp, cp, course
 from ccv_mppi_path_tracker_tpu.models import get_model
 from ccv_mppi_path_tracker_tpu.paths import PathBuffer
 from ccv_mppi_path_tracker_tpu.solver import mppi_step

@@ -48,10 +48,10 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     from ccv_mppi_path_tracker_tpu.core import ControllerState
-    from ccv_mppi_path_tracker_tpu.core.config import rate_limited_steering_config
     from ccv_mppi_path_tracker_tpu.core.presets import (
         diff_drive_launch,
         full_body_launch,
+        rate_limited_launch,
         steering_launch,
     )
     from ccv_mppi_path_tracker_tpu.paths import PathBuffer
@@ -94,19 +94,11 @@ def main():
         )
         return cfg, sp, cp, path, ctrl, state, noise
 
-    def rl_launch(num_samples, horizon, dtype):
-        cfg, sp, cp = rate_limited_steering_config(
-            num_samples=num_samples, horizon=horizon, path_weight=10.0,
-            dtype=dtype,
-        )
-        _, _, _, course = diff_drive_launch()
-        return cfg, sp, cp, course
-
     # --- 1. kernel vs XLA parity, injected noise, on hardware --------------
     fams = [
         ("unicycle", diff_drive_launch, 2, 3),
         ("steering_unicycle", steering_launch, 3, 3),
-        ("rate_limited_steering", rl_launch, 3, 4),
+        ("rate_limited_steering", rate_limited_launch, 3, 4),
         ("full_body", full_body_launch, 5, 5),
     ]
     for name, launch, u_dim, n_states in fams:

@@ -386,11 +386,15 @@ def test_use_kernel_auto_policy():
     from ccv_mppi_path_tracker_tpu.solver import MPPISolver
 
     # small workload or tile-incompatible K -> XLA; big + aligned -> kernel
-    assert not should_use_kernel(1000, 15)      # K not a tile multiple
-    assert not should_use_kernel(10240, 15)     # below the crossover
-    assert should_use_kernel(102400, 30)
+    assert not should_use_kernel(1000, 15, backend="tpu")   # K not tileable
+    assert not should_use_kernel(10240, 15, backend="tpu")  # below crossover
+    assert should_use_kernel(102400, 30, backend="tpu")
+    # off-TPU the RNG-mode kernel cannot run (no pltpu.prng_seed lowering):
+    # "auto" must fall back to XLA regardless of workload size. This test
+    # runs on the CPU backend, so the solver check below also covers it.
+    assert not should_use_kernel(102400, 30, backend="cpu")
     cfg, sp, cp, course = diff_drive_launch(num_samples=102400, horizon=30)
-    assert MPPISolver(cfg, use_kernel="auto").use_kernel is True
+    assert MPPISolver(cfg, use_kernel="auto").use_kernel is False  # CPU here
     cfg2, *_ = diff_drive_launch(num_samples=1000, horizon=15)
     assert MPPISolver(cfg2, use_kernel="auto").use_kernel is False
 
