@@ -184,7 +184,11 @@ already fused). Kernel tile heights now include non-power-of-two candidates
 does not divide but 40 does — rows=40 vs the old fallback rows=32 measured
 0.91 vs 1.15 ms (interleaved min-of-6) at the flagship config.
 `MPPISolver(use_kernel="auto")` picks the kernel only above the measured
-~3e5 propagations-per-update crossover.
+~3e5 propagations-per-update crossover (and only on a real TPU backend —
+the RNG-mode kernel has no CPU/GPU lowering). `elite_frac` on the kernel
+path costs ~1.3-1.5x a vanilla step, not 2x: the first (threshold-finding)
+pass skips the online update accumulation (measured interleaved at
+K=102400 T=30: elite 1.49 ms vs vanilla 0.94-1.20 ms).
 
 Roofline (scripts/roofline.py): this workload is VPU-bound — the only
 matmul is the K-contraction, so MXU MFU is structurally ~0. The kernel
