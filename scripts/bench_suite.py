@@ -211,12 +211,13 @@ container). Workload: full-body solve, K=131072, T=30, f32, RNG mode,
 
 | processes | devices | ms/update | scaling efficiency |
 |---|---|---|---|
-| 1 | 8 (one process) | 806 | 1.00 |
-| 2 | 4 + 4 (cross-process collectives) | 838 | 0.962 |
+| 1 | 8 (one process) | 656 | 1.00 |
+| 2 | 4 + 4 (cross-process collectives) | 672 | 0.976 |
+| 4 | 2 + 2 + 2 + 2 | 687 | 0.955 |
 
-u_opt is **bit-identical** (max abs diff 0.0) between the 1-process and
-2-process runs with the same injected noise — the pmin/psum reductions are
-globally exact across the process boundary. The ~4% overhead is the gloo
+u_opt is **bit-identical** (max abs diff 0.0) across the 1-, 2- and
+4-process runs with the same injected noise — the pmin/psum reductions are
+globally exact across every process boundary. The 2-5% overhead is the gloo
 round-trip for the three per-step collectives (pmin baseline + psum
 normalizer + psum of the (T-1)xU weighted-update partial, 582 B payload at
 T=30 U=5); on a TPU pod the same three collectives ride ICI/DCN. Correctness
