@@ -154,3 +154,42 @@ def test_sharded_elite_frac_matches_single_device():
 
     costs_thresh = float(res1.stats["elite_thresh"])
     assert np.isfinite(costs_thresh)
+
+
+def test_sharded_kernel_elite_matches_single_device_xla():
+    """All three at once — elite_frac on the fused kernel under shard_map:
+    the rank threshold spans shards exactly (psum-count bisection) and the
+    kernel's second (masked) pass regenerates identical samples per shard,
+    so the result matches the single-device XLA elite update at f32
+    round-off."""
+    cfg, sp, cp, course = diff_drive_launch(
+        num_samples=8192, horizon=T, dtype=np.float32
+    )
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+    ctrl = ControllerState(
+        u_prev=jnp.zeros((T - 1, 2), jnp.float32),
+        key=jax.random.PRNGKey(3),
+        step=jnp.zeros((), jnp.int32),
+    )
+    state = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(
+        np.random.RandomState(11).randn(T - 1, 8192, 2), jnp.float32
+    )
+    dt = jnp.float32(0.1)
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step as _step
+
+    _, res1 = jax.jit(
+        lambda c, s, n: _step(cfg, c, s, path, dt, sp, cp, noise=n,
+                              elite_frac=0.25)
+    )(ctrl, state, noise)
+    mesh = samples_mesh(num_devices=2)  # K/N = 4096 = one kernel tile
+    step = build_sharded_step(cfg, mesh, use_kernel=True,
+                              solver_options={"elite_frac": 0.25})
+    _, res2 = step(ctrl, state, path, dt, sp, cp, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(res2.u_opt), np.asarray(res1.u_opt), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        float(res2.stats["elite_thresh"]), float(res1.stats["elite_thresh"]),
+        rtol=1e-5,
+    )
