@@ -52,29 +52,43 @@ _LANES = 128
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-# Measured crossover (BENCH_DETAIL.md): below ~3e5 state propagations per
-# update the kernel's fixed setup cost loses to the XLA pipeline. With the
-# non-power-of-two tile heights the kernel also wins at K=10240 T=15 for
-# full_body (0.43 vs 0.77 ms) but still loses for the cheap 2-3 control
-# models at that size; the threshold stays conservative so "auto" never
-# picks a slower path.
+# Measured crossovers (BENCH_DETAIL.md): below ~3e5 state propagations per
+# update the kernel's fixed setup cost loses to the XLA pipeline for the
+# cheap 2-3 control models (steering_unicycle K=10240 T=15: 0.66 vs
+# 0.24 ms). full_body's per-propagation work (5 controls + ZMP chain) is
+# heavy enough that the kernel already wins at the reference's own
+# operating point — K=10240 T=15 measured 0.43 vs 0.77 ms — so its
+# threshold sits at that measured win; thresholds stay at measured points
+# so "auto" never picks a slower path.
 KERNEL_MIN_PROPS = 3 * 10**5
+KERNEL_MIN_PROPS_BY_MODEL = {"full_body": 140_000}
+
+# Model families the fused kernel implements; "auto" must fall back to the
+# XLA pipeline for anything else (e.g. user-registered models).
+KERNEL_MODELS = (
+    "unicycle", "steering_unicycle", "rate_limited_steering", "full_body"
+)
 
 
 def should_use_kernel(num_samples: int, horizon: int,
-                      backend: Optional[str] = None) -> bool:
+                      backend: Optional[str] = None,
+                      model: Optional[str] = None) -> bool:
     """use_kernel="auto" policy: kernel iff the workload is big enough to
-    amortize the launch/setup cost, K fits the smallest tile, AND the
+    amortize the launch/setup cost (per-model measured crossover when
+    ``model`` is given), K fits the smallest tile, AND the
     default backend is a real TPU — off-TPU the RNG-mode kernel cannot run
     (``pltpu.prng_seed`` has no CPU/GPU lowering; interpret mode is for
     noise-injected parity tests, not serving) and would be far slower even
     if it lowered. ``backend`` overrides the detected default (tests)."""
     if backend is None:
         backend = jax.default_backend()
+    if model is not None and model not in KERNEL_MODELS:
+        return False
+    min_props = KERNEL_MIN_PROPS_BY_MODEL.get(model, KERNEL_MIN_PROPS)
     return (
         backend == "tpu"
         and num_samples % (8 * _LANES) == 0
-        and num_samples * (horizon - 1) >= KERNEL_MIN_PROPS
+        and num_samples * (horizon - 1) >= min_props
     )
 
 
@@ -424,9 +438,9 @@ def fused_sample_rollout_cost(
     ``second_moment=True`` a fourth output holds the weighted sum of u^2
     in the same layout (adaptive-covariance sampling).
     """
-    assert model in (
-        "unicycle", "steering_unicycle", "rate_limited_steering", "full_body"
-    ), f"fused kernel does not implement model {model!r}; use the XLA path"
+    assert model in KERNEL_MODELS, (
+        f"fused kernel does not implement model {model!r}; use the XLA path"
+    )
     batched = u_prev.ndim == 3
     if batched:
         B, tm1, u_dim = u_prev.shape

@@ -362,12 +362,15 @@ class MPPISolver:
                  use_kernel=False):
         """use_kernel: False (XLA pipeline), True (fused Pallas kernel), or
         "auto" — kernel iff the workload amortizes its launch cost
-        (kernels.should_use_kernel; measured crossover ~3e5 propagations per
-        update, BENCH_DETAIL.md) and K fits the tile."""
+        (kernels.should_use_kernel; measured per-model crossover — ~3e5
+        propagations per update for the cheap models, ~1.4e5 for full_body,
+        BENCH_DETAIL.md) and K fits the tile."""
         if use_kernel == "auto":
             from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
 
-            use_kernel = should_use_kernel(cfg.num_samples, cfg.horizon)
+            use_kernel = should_use_kernel(
+                cfg.num_samples, cfg.horizon, model=cfg.model
+            )
         self.cfg = cfg
         self.use_kernel = use_kernel
         self.model = get_model(cfg.model)

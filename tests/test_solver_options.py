@@ -389,6 +389,15 @@ def test_use_kernel_auto_policy():
     assert not should_use_kernel(1000, 15, backend="tpu")   # K not tileable
     assert not should_use_kernel(10240, 15, backend="tpu")  # below crossover
     assert should_use_kernel(102400, 30, backend="tpu")
+    # per-model crossover: full_body's kernel wins already at the
+    # reference's operating point (K=10240 T=15, BENCH_DETAIL.md), the
+    # cheap 2-3 control models don't
+    assert should_use_kernel(10240, 15, backend="tpu", model="full_body")
+    assert not should_use_kernel(
+        10240, 15, backend="tpu", model="steering_unicycle"
+    )
+    # unknown (user-registered) models have no kernel arm: auto -> XLA
+    assert not should_use_kernel(102400, 30, backend="tpu", model="custom")
     # off-TPU the RNG-mode kernel cannot run (no pltpu.prng_seed lowering):
     # "auto" must fall back to XLA regardless of workload size. This test
     # runs on the CPU backend, so the solver check below also covers it.
