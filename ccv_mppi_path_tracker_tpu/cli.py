@@ -36,7 +36,12 @@ def _add_run_args(p):
     p.add_argument("--plot-yaw", default=None,
                    help="save yaw-vs-path-yaw figure (graph3 layout) to file")
     p.add_argument("--kernel", action="store_true",
-                   help="use the fused Pallas kernel path")
+                   help="force the fused Pallas kernel path (default: auto "
+                        "for `run` — kernel iff measured faster for this "
+                        "model/workload on a TPU backend, "
+                        "kernels.should_use_kernel)")
+    p.add_argument("--no-kernel", action="store_true",
+                   help="force the XLA pipeline (disable auto selection)")
     p.add_argument("--course", default="preset",
                    choices=["preset", "sin", "dkan", "square", "circle"],
                    help="override the preset's course (e.g. --course dkan "
@@ -121,14 +126,31 @@ def cmd_run(args):
     if getattr(args, "elite_frac", None) is not None:
         opts["elite_frac"] = args.elite_frac
     animate = getattr(args, "animate", None)
+    # path selection: --kernel / --no-kernel force; default auto picks the
+    # measured-faster path (kernel only on TPU above the per-model
+    # crossover). --animate needs the XLA-only candidate debug output, so
+    # auto stays on XLA for it.
+    assert not (args.kernel and args.no_kernel), "--kernel and --no-kernel"
+    if args.kernel or args.no_kernel:
+        use_kernel = args.kernel
+    elif animate:
+        use_kernel = False
+    else:
+        from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
+
+        use_kernel = should_use_kernel(
+            cfg.num_samples, cfg.horizon, model=cfg.model
+        )
     if animate:
-        if not args.kernel:
+        if not use_kernel:
             # candidate rollouts are an XLA-path debug output
             opts["debug_candidates"] = args.animate_candidates
         extra["with_paths"] = True
+    print(f"solver path: {'fused kernel' if use_kernel else 'xla'}"
+          f"{'' if args.kernel or args.no_kernel else ' (auto)'}")
     out = run_tracking_experiment(
         cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed,
-        use_kernel=args.kernel, solver_options=opts or None, **extra,
+        use_kernel=use_kernel, solver_options=opts or None, **extra,
     )
     if animate:
         from ccv_mppi_path_tracker_tpu.metrics.animate import animate_tracking
