@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from ccv_mppi_path_tracker_tpu.cli import main
 from ccv_mppi_path_tracker_tpu.metrics.plots import (
@@ -34,6 +35,22 @@ def test_cli_run_records_and_plots(tmp_path, capsys):
     assert len(csvs) == 1
     header = open(csvs[0]).readline().strip().split(",")
     assert header[:3] == ["time", "x", "y"]
+
+
+def test_cli_run_path_selection(capsys):
+    # default is auto (XLA on the CPU backend); --no-kernel forces XLA;
+    # --kernel + --no-kernel together is an error
+    rc = main(["run", "--preset", "diff_drive", "--steps", "2",
+               "--num-samples", "128"])
+    assert rc == 0
+    assert "solver path: xla (auto)" in capsys.readouterr().out
+    rc = main(["run", "--preset", "diff_drive", "--steps", "2",
+               "--num-samples", "128", "--no-kernel"])
+    assert rc == 0
+    assert "solver path: xla\n" in capsys.readouterr().out
+    with pytest.raises(AssertionError):
+        main(["run", "--preset", "diff_drive", "--steps", "2",
+              "--num-samples", "128", "--kernel", "--no-kernel"])
 
 
 def test_cli_course(tmp_path):
