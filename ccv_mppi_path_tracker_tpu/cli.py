@@ -23,7 +23,7 @@ import sys
 import numpy as np
 
 
-def _add_run_args(p):
+def _add_run_args(p, kernel_flags=True):
     p.add_argument("--preset", default="diff_drive",
                    choices=["diff_drive", "steering_diff_drive", "full_body"])
     p.add_argument("--steps", type=int, default=200)
@@ -35,13 +35,6 @@ def _add_run_args(p):
     p.add_argument("--plot", default=None, help="save tracking figure to file")
     p.add_argument("--plot-yaw", default=None,
                    help="save yaw-vs-path-yaw figure (graph3 layout) to file")
-    p.add_argument("--kernel", action="store_true",
-                   help="force the fused Pallas kernel path (default: auto "
-                        "for `run` — kernel iff measured faster for this "
-                        "model/workload on a TPU backend, "
-                        "kernels.should_use_kernel)")
-    p.add_argument("--no-kernel", action="store_true",
-                   help="force the XLA pipeline (disable auto selection)")
     p.add_argument("--course", default="preset",
                    choices=["preset", "sin", "dkan", "square", "circle"],
                    help="override the preset's course (e.g. --course dkan "
@@ -67,6 +60,32 @@ def _add_run_args(p):
                         "live-view equivalent")
     p.add_argument("--animate-candidates", type=int, default=24,
                    help="candidate rollouts drawn per frame (XLA path only)")
+    if not kernel_flags:
+        return  # export pins the XLA path (jax.export of StableHLO)
+    kg = p.add_mutually_exclusive_group()
+    kg.add_argument("--kernel", action="store_true",
+                    help="force the fused Pallas kernel path (default: auto "
+                         "— kernel iff measured faster for this "
+                         "model/workload on a TPU backend, "
+                         "kernels.should_use_kernel)")
+    kg.add_argument("--no-kernel", action="store_true",
+                    help="force the XLA pipeline (disable auto selection)")
+
+
+def _kernel_choice(args, cfg):
+    """Resolve --kernel / --no-kernel / auto to a use_kernel bool.
+
+    Auto (neither flag) picks the measured-faster path for this
+    model/workload on the current backend (kernels.should_use_kernel).
+    argparse enforces the flags' mutual exclusion (_add_run_args).
+    """
+    if args.kernel:
+        return True
+    if args.no_kernel:
+        return False
+    from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
+
+    return should_use_kernel(cfg.num_samples, cfg.horizon, model=cfg.model)
 
 
 def _resolve(args):
@@ -130,17 +149,10 @@ def cmd_run(args):
     # measured-faster path (kernel only on TPU above the per-model
     # crossover). --animate needs the XLA-only candidate debug output, so
     # auto stays on XLA for it.
-    assert not (args.kernel and args.no_kernel), "--kernel and --no-kernel"
-    if args.kernel or args.no_kernel:
-        use_kernel = args.kernel
-    elif animate:
+    if animate and not (args.kernel or args.no_kernel):
         use_kernel = False
     else:
-        from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
-
-        use_kernel = should_use_kernel(
-            cfg.num_samples, cfg.horizon, model=cfg.model
-        )
+        use_kernel = _kernel_choice(args, cfg)
     if animate:
         if not use_kernel:
             # candidate rollouts are an XLA-path debug output
@@ -204,7 +216,8 @@ def cmd_compare(args):
 
     cfg, sp, cp, course = _resolve(args)
     mppi = run_tracking_experiment(
-        cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed
+        cfg, sp, cp, course, num_steps=args.steps, dt=args.dt, seed=args.seed,
+        use_kernel=_kernel_choice(args, cfg),
     )
     pp = run_pure_pursuit_experiment(
         course, num_steps=args.steps, dt=args.dt,
@@ -228,7 +241,8 @@ def cmd_realtime(args):
         os.makedirs(args.record, exist_ok=True)
         rec = os.path.join(args.record, f"{args.preset}_realtime.csv")
     out = run_realtime_experiment(
-        cfg, sp, cp, course, hz=args.hz, num_cycles=args.steps, record_path=rec
+        cfg, sp, cp, course, hz=args.hz, num_cycles=args.steps,
+        record_path=rec, use_kernel=_kernel_choice(args, cfg),
     )
     m, rs = out["metrics"], out["rate_stats"]
     print(f"Time: {round(m['time'], 1)}")
@@ -278,7 +292,7 @@ def cmd_profile(args):
         float(course[0, 1])
     )
     dt = jnp.float32(args.dt)
-    solver = MPPISolver(cfg, use_kernel=args.kernel)
+    solver = MPPISolver(cfg, use_kernel=_kernel_choice(args, cfg))
     ctrl = solver.init(args.seed)
     timer = PhaseTimer()
     with timer.phase("compile"):
@@ -366,7 +380,8 @@ def cmd_fleet(args):
     states = jnp.zeros((B, model.num_states), jnp.float32)
     states = states.at[:, 1].set(float(course[0, 1]))
     dt = jnp.float32(args.dt)
-    step = build_fleet_step(cfg, use_kernel=args.kernel)
+    use_kernel = _kernel_choice(args, cfg)
+    step = build_fleet_step(cfg, use_kernel=use_kernel)
     plant = jax.jit(jax.vmap(lambda s, u: model.step(s, u, dt)))
     ctrls = init_fleet(cfg, B, seed=args.seed)
     traj = [np.asarray(states)]
@@ -382,7 +397,7 @@ def cmd_fleet(args):
         for b in range(B)
     ]
     print(f"fleet: {B} robots x K={cfg.num_samples}, {args.steps} ticks, "
-          f"{'kernel' if args.kernel else 'xla'} path")
+          f"{'kernel' if use_kernel else 'xla'} path")
     print(f"RMSE mean={np.mean(rmses):.3f} worst={np.max(rmses):.3f}")
     print(f"wall: {wall:.2f} s = {B * args.steps / wall:,.0f} robot-updates/s "
           f"(host-loop; see BENCH_DETAIL.md for device-rate numbers)")
@@ -437,7 +452,7 @@ def main(argv=None):
     pp.set_defaults(fn=cmd_profile)
 
     pe = sub.add_parser("export", help="serialize the compiled control step")
-    _add_run_args(pe)
+    _add_run_args(pe, kernel_flags=False)
     pe.add_argument("--out", default="control_step.bin")
     pe.set_defaults(fn=cmd_export)
 

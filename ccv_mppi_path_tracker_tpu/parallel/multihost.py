@@ -36,13 +36,24 @@ def initialize_multihost(
         return True
     if coordinator_address is None and "TPU_WORKER_HOSTNAMES" not in os.environ:
         return False
+    # A coordinator IS configured past this point (explicit argument or
+    # launcher env): failure to join the pod must be loud, not a silent
+    # degrade to single-process — a solver that quietly computes on 1/N of
+    # its samples is the worst failure mode this framework has (the same
+    # principle as runtime/gating.py's explicit stale-input policy).
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-        return True
-    except Exception:
-        # Single-host dev boxes (and this CI) run without a coordinator.
-        return False
+    except Exception as e:
+        raise RuntimeError(
+            "multi-host launch configured "
+            f"(coordinator={coordinator_address!r}, "
+            f"num_processes={num_processes}, process_id={process_id}) but "
+            "jax.distributed.initialize failed — refusing to degrade to "
+            "single-process; unset JAX_COORDINATOR_ADDRESS to run "
+            "single-host"
+        ) from e
+    return True

@@ -41,6 +41,7 @@ def run_realtime_experiment(
     model_params=None,
     resolution: float = 0.1,
     lean: bool = True,
+    use_kernel: bool = False,
 ):
     """Track ``course`` at a fixed wall-clock rate with an in-process plant.
 
@@ -49,6 +50,7 @@ def run_realtime_experiment(
     lean: run the solver in serving mode (StepResult carries only u_opt/u0;
     the control path here reads nothing else) — saves ~0.1 ms/cycle of
     output-buffer allocation at large K (solver/mppi.py ``lean``).
+    use_kernel: solve via the fused Pallas kernel (TPU serving path).
     """
     from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
     from ccv_mppi_path_tracker_tpu.runtime.native import (
@@ -57,9 +59,14 @@ def run_realtime_experiment(
     )
 
     path = PathBuffer.from_points(course, resolution, dtype=np.float32)
+    opts = {}
+    if lean:
+        opts["lean"] = True
+    if use_kernel:
+        opts["use_kernel"] = True
     loop = ControlLoop(
         cfg=cfg, sp=sp, cp=cp, path=path, model_params=model_params,
-        nominal_dt=1.0 / hz, solver_options={"lean": True} if lean else None,
+        nominal_dt=1.0 / hz, solver_options=opts or None,
     )
     model = get_model(cfg.model)
     plant = get_model(cfg.model)
