@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ccv_mppi_path_tracker_tpu.ops.mindist import DIST_CAP
+from ccv_mppi_path_tracker_tpu.ops.mindist import DIST_CAP, center_ref
 
 # Samples per kernel program: up to a (64, 128) tile = 8192 samples. Taller
 # tiles amortize the t-loop / ref-loop control overhead over more vector
@@ -52,14 +52,17 @@ _LANES = 128
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-# Measured crossovers (BENCH_DETAIL.md): below ~3e5 state propagations per
-# update the kernel's fixed setup cost loses to the XLA pipeline for the
-# cheap 2-3 control models (steering_unicycle K=10240 T=15: 0.66 vs
-# 0.24 ms). full_body's per-propagation work (5 controls + ZMP chain) is
-# heavy enough that the kernel already wins at the reference's own
-# operating point — K=10240 T=15 measured 0.43 vs 0.77 ms — so its
-# threshold sits at that measured win; thresholds stay at measured points
-# so "auto" never picks a slower path.
+# Crossovers measured on TPU v5e (BENCH_DETAIL.md): below ~3e5 state
+# propagations per update the kernel's fixed setup cost loses to the XLA
+# pipeline for the cheap 2-3 control models (steering_unicycle K=10240
+# T=15: 0.66 vs 0.24 ms). full_body's per-propagation work (5 controls +
+# ZMP chain) is heavy enough that the kernel already wins at the
+# reference's own operating point — K=10240 T=15 measured 0.43 vs 0.77 ms.
+# The scalar props = K*(T-1) proxy generalizes each measured (K, T) point
+# to nearby shapes; extreme aspect ratios (tiny K, huge T) are covered by
+# the K=102400 T=100 row, not by fresh measurements. On device kinds other
+# than v5e these literals are NOT trusted: kernels/autotune.py keys the
+# verdict by device_kind and micro-calibrates unknown hardware.
 KERNEL_MIN_PROPS = 3 * 10**5
 KERNEL_MIN_PROPS_BY_MODEL = {"full_body": 140_000}
 
@@ -75,40 +78,70 @@ def should_use_kernel(num_samples: int, horizon: int,
                       model: Optional[str] = None) -> bool:
     """use_kernel="auto" policy: kernel iff the workload is big enough to
     amortize the launch/setup cost (per-model measured crossover when
-    ``model`` is given), K fits the smallest tile, AND the
-    default backend is a real TPU — off-TPU the RNG-mode kernel cannot run
-    (``pltpu.prng_seed`` has no CPU/GPU lowering; interpret mode is for
-    noise-injected parity tests, not serving) and would be far slower even
-    if it lowered. ``backend`` overrides the detected default (tests)."""
+    ``model`` is given) AND the default backend is a real TPU — off-TPU the
+    RNG-mode kernel cannot run (``pltpu.prng_seed`` has no CPU/GPU lowering;
+    interpret mode is for noise-injected parity tests, not serving) and
+    would be far slower even if it lowered. Any K is accepted (the kernel
+    masks the padded tail — ``padded_k``), so the reference's own K=10000
+    full_body operating point picks the kernel under auto. ``backend``
+    overrides the detected default (tests)."""
     if backend is None:
         backend = jax.default_backend()
     if model is not None and model not in KERNEL_MODELS:
         return False
+    if backend != "tpu":
+        return False
+    if jax.default_backend() == "tpu":
+        # device-kind-aware: measured table for known kinds, disk-cached
+        # micro-calibration for unknown ones (kernels/autotune.py)
+        from ccv_mppi_path_tracker_tpu.kernels.autotune import resolve_auto
+
+        return resolve_auto(num_samples, horizon, model)
+    # backend forced to "tpu" off-TPU (tests): v5e measured literals
     min_props = KERNEL_MIN_PROPS_BY_MODEL.get(model, KERNEL_MIN_PROPS)
-    return (
-        backend == "tpu"
-        and num_samples % (8 * _LANES) == 0
-        and num_samples * (horizon - 1) >= min_props
-    )
+    return num_samples * (horizon - 1) >= min_props
 
 
 def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
               num_samples: int | None = None) -> int:
-    """Largest tile height whose controls buffers fit the VMEM budget and
-    (when given) divides num_samples."""
+    """Tile height whose controls buffers fit the VMEM budget; when
+    ``num_samples`` is given, the height that minimizes the padded-tail
+    waste (``padded_k``), ties broken toward taller tiles."""
     # controls live in a single (not double-buffered) VMEM scratch; in parity
     # mode the noise input block is double-buffered by the pipeline on top.
     factor = 3 if with_noise_input else 1
     # Candidates step by the 8-sublane vreg height. Non-power-of-two heights
     # matter: K=102400 is 800 lane-rows, which 64 doesn't divide but 40 does —
-    # without them the flagship config would fall all the way to rows=32.
-    for rows in (64, 56, 48, 40, 32, 24, 16, 8):
-        if factor * (horizon - 1) * u_dim * rows * _LANES * 4 > _VMEM_BUDGET:
-            continue
-        if num_samples is not None and num_samples % (rows * _LANES) != 0:
-            continue
-        return rows
-    return 8
+    # without them the flagship config would pay a 6.5k-sample padded tail.
+    fits = [
+        rows for rows in (64, 56, 48, 40, 32, 24, 16, 8)
+        if factor * (horizon - 1) * u_dim * rows * _LANES * 4 <= _VMEM_BUDGET
+    ]
+    if not fits:
+        return 8
+    if num_samples is None:
+        return fits[0]
+    return max(fits, key=lambda r: (num_samples / padded_k(num_samples, r), r))
+
+
+def padded_k(num_samples: int, rows: int) -> int:
+    """num_samples rounded up to a whole number of (rows, 128) tiles. The
+    kernel zero-weights the padded tail exactly (validity mask on the online
+    update), so ANY K is accepted — e.g. the reference full_body default
+    K=10000 (src/full_body_mppi.cpp:10) runs as 10240 lanes with 240 masked."""
+    tile = rows * _LANES
+    return -(-num_samples // tile) * tile
+
+
+def tile_noise(noise: jax.Array, k_pad: int) -> jax.Array:
+    """(T-1, K, U) standard normals -> the kernel's padded tile layout
+    (T-1, U, k_pad/128, 128); the zero-padded tail is masked out in-kernel."""
+    tm1, k, u_dim = noise.shape
+    if k_pad != k:
+        noise = jnp.pad(noise, ((0, 0), (0, k_pad - k), (0, 0)))
+    return jnp.transpose(noise, (0, 2, 1)).reshape(
+        tm1, u_dim, k_pad // _LANES, _LANES
+    )
 
 # scalar-param vector layout (SMEM)
 # [dt, v_ref, path_w, v_w, zmp_w, roll_v_w, back_w, yaw_w, yaw_ref0,
@@ -117,6 +150,8 @@ def tile_rows(horizon: int, u_dim: int, with_noise_input: bool,
 # it get zero weight in the online update (ops/softmax_update.py
 # elite_threshold supplies the globally-exact rank threshold; the solver
 # makes a second kernel pass with it — same seed, identical samples).
+# The wrapper appends slot 18 = num_valid (true K before tile padding; exact
+# in f32 up to 2^24): sample indices >= it get zero weight.
 _NSCAL = 18
 
 
@@ -161,7 +196,7 @@ def _make_normal_stream(shape):
 def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                  with_noise_input: bool, steer_off: bool, rows: int,
                  batched: bool = False, second_moment: bool = False,
-                 accumulate: bool = True):
+                 accumulate: bool = True, masked: bool = False):
     tm1 = horizon - 1
     cap2 = DIST_CAP * DIST_CAP
     _ROWS = rows
@@ -250,15 +285,35 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         cost = jnp.zeros((_ROWS, _LANES), jnp.float32)
 
         def path_d2(xv, yv):
-            # fori_loop keeps the kernel program small at large T*T_ref
-            # (unrolled this is the dominant op count).
-            def body(j, d2):
-                dx = xv - refp(j, 0)
-                dy = yv - refp(j, 1)
-                return jnp.minimum(d2, dx * dx + dy * dy)
+            # Centered expanded form (ops/mindist.py module docstring): the
+            # wrapper passes [2*(ref-c), |ref-c|^2] per reference point and a
+            # rollout start centered at c = ref[0], so the inner loop is two
+            # FMAs + one min per point — 3 vector ops vs 5 for the
+            # difference form, on the kernel's largest op group. Chunked
+            # unroll (vs the old unroll=num_ref) keeps the Mosaic program
+            # small at large T*T_ref — full unrolling inside the t-loop was
+            # the dominant cold-compile cost.
+            pn = xv * xv + yv * yv
+            ch = 8  # hand-rolled chunk: Mosaic's scan lowering only accepts
+            # unroll=1 or full unroll, so the body statically covers `ch`
+            # points and the remainder runs as a static epilogue.
+            nch = num_ref // ch
 
-            init = jnp.full((_ROWS, _LANES), cap2)
-            return jax.lax.fori_loop(0, num_ref, body, init, unroll=num_ref)
+            def term(j):
+                return refp(j, 2) - xv * refp(j, 0) - yv * refp(j, 1)
+
+            def body(i, m):
+                base = i * ch
+                for p in range(ch):
+                    m = jnp.minimum(m, term(base + p))
+                return m
+
+            m = jnp.full((_ROWS, _LANES), jnp.inf)
+            if nch:
+                m = jax.lax.fori_loop(0, nch, body, m, unroll=1)
+            for j in range(nch * ch, num_ref):
+                m = jnp.minimum(m, term(j))
+            return jnp.minimum(jnp.maximum(pn + m, 0.0), cap2)
 
         # The time loop is a fori_loop with dynamic indexing into the u_out
         # VMEM block — unrolling T=30..100 steps made Mosaic compiles
@@ -365,7 +420,17 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         if not accumulate:
             return
         lam = sc(16)
-        tile_min = jnp.min(cost)
+        if masked:
+            # K didn't fill the last tile: zero-weight the padded lanes and
+            # keep them out of the running-min baseline, so the update equals
+            # the exact K-sample result (full tiles: the compare is all-true).
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0)
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
+            idx = (kidx * _ROWS + row_ids) * _LANES + col_ids
+            valid = idx.astype(jnp.float32) < sc(18)
+            tile_min = jnp.min(jnp.where(valid, cost, jnp.inf))
+        else:
+            tile_min = jnp.min(cost)
         m_prev = m_ref[0]
         m_new = jnp.minimum(m_prev, tile_min)
         m_ref[0] = m_new
@@ -374,6 +439,8 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         factor = jnp.exp(-(m_prev - m_new) / lam)
         w = jnp.exp(-(cost - m_new) / lam)
         w = jnp.where(cost <= sc(17), w, 0.0)  # elite mask (thresh=inf: all)
+        if masked:
+            w = jnp.where(valid, w, 0.0)
 
         def part8(x):
             # (ROWS, LANES) -> (8, LANES) sublane-group partial sums: keeps
@@ -429,7 +496,11 @@ def fused_sample_rollout_cost(
     whose accumulation would be discarded.
 
     u_prev: (T-1, U) f32; ref_xy: (T_ref, 2); state0: (S,); scal: (_NSCAL,);
-    seed: (1,) int32; noise (optional, parity mode): (T-1, U, K/128, 128).
+    seed: (1,) int32; noise (optional, parity mode): the ``tile_noise``
+    layout (T-1, U, k_pad/128, 128). ANY num_samples is accepted: K is
+    padded up to whole (rows, 128) tiles and the padded tail is exactly
+    zero-weighted in the online update (see ``padded_k``); the returned
+    cost vector is sliced back to K.
     Returns (costs (K,), u_partial ((T-1)*U, 8, 128), norm_partial (8, 128)):
     per-(sublane, lane) partial sums of the softmax-weighted update under the
     baseline min(costs) — ``u_opt = u_partial.sum((-2, -1)).reshape(T-1, U) /
@@ -448,18 +519,28 @@ def fused_sample_rollout_cost(
         tm1, u_dim = u_prev.shape
     horizon = tm1 + 1
     num_ref = ref_xy.shape[-2]
+    # Centered expanded-form distance constants (ops/mindist.py docstring):
+    # the kernel consumes [2*(ref-c), |ref-c|^2] rows plus a rollout start
+    # translated by -c, with c = ref[0] (per robot in fleet mode). Positions
+    # enter the cost only through distances, which are translation-invariant,
+    # and rollout states never leave the kernel, so the shift is unobservable.
+    c, rc2, rn = center_ref(ref_xy)
+    ref_xy = jnp.concatenate([rc2, rn[..., None]], axis=-1)
+    state0 = jnp.concatenate([state0[..., :2] - c, state0[..., 2:]], axis=-1)
     rows = tile_rows(horizon, u_dim, noise is not None, num_samples)
     tile = rows * _LANES
-    assert num_samples % tile == 0, (
-        f"K={num_samples} must be a multiple of the kernel tile {tile} "
-        f"(horizon {horizon})"
-    )
-    grid_k = num_samples // tile
-    rows_total = num_samples // _LANES
+    k_pad = padded_k(num_samples, rows)
+    masked = k_pad != num_samples
+    grid_k = k_pad // tile
+    rows_total = k_pad // _LANES
+    # slot 18 = num_valid: the kernel zero-weights padded-tail lanes exactly
+    nval = jnp.full(scal.shape[:-1] + (1,), num_samples, scal.dtype)
+    scal = jnp.concatenate([scal, nval], axis=-1)
 
     kernel = _make_kernel(
         model, horizon, num_ref, u_dim, noise is not None, steer_off, rows,
         batched=batched, second_moment=second_moment, accumulate=accumulate,
+        masked=masked,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -478,9 +559,9 @@ def fused_sample_rollout_cost(
         in_specs = [
             sblk((tm1, u_dim)),          # u_prev
             smem(), smem(), smem(),      # sigma, u_min, u_max (shared)
-            sblk((num_ref, 2)),          # ref_xy
+            sblk((num_ref, 3)),          # centered-ref constants
             sblk((1, state0.shape[-1])), # state0
-            sblk((1, _NSCAL)),           # scal
+            sblk((1, _NSCAL + 1)),       # scal (+ num_valid)
             sblk((1, 1)),                # seed
         ]
     else:
@@ -488,6 +569,10 @@ def fused_sample_rollout_cost(
                     smem()]
     inputs = [u_prev, sigma, u_min, u_max, ref_xy, state0, scal, seed]
     if noise is not None:
+        assert noise.shape[-2:] == (rows_total, _LANES), (
+            f"noise must be pre-padded/tiled to {(rows_total, _LANES)} lanes "
+            f"(tile_noise with k_pad={k_pad}); got {noise.shape}"
+        )
         if batched:
             in_specs.append(
                 pl.BlockSpec(
@@ -556,10 +641,11 @@ def fused_sample_rollout_cost(
     nu = tm1 * u_dim
     if batched:
         acc = acc.reshape(B, n_groups, 8, _LANES)
-        out = (costs.reshape(B, num_samples), acc[:, :nu], acc[:, -1])
+        costs = costs.reshape(B, k_pad)[:, :num_samples]
+        out = (costs, acc[:, :nu], acc[:, -1])
         return out + ((acc[:, nu:-1],) if second_moment else ())
     acc = acc.reshape(n_groups, 8, _LANES)
-    out = (costs.reshape(num_samples), acc[:nu], acc[-1])
+    out = (costs.reshape(k_pad)[:num_samples], acc[:nu], acc[-1])
     return out + ((acc[nu:-1],) if second_moment else ())
 
 

@@ -50,9 +50,24 @@ def _calc_ref(path_xy, pos, v_ref, dt, resolution, horizon):
     return xy, yaw
 
 
-def _min_distance(x, y, ref_xy):
-    d = np.sqrt((x - ref_xy[:, 0]) ** 2 + (y - ref_xy[:, 1]) ** 2)
-    return min(DIST_CAP, float(np.min(d)))
+def _centered_ref(ref_xy):
+    """Expanded-form distance constants (ops/mindist.py module docstring):
+    center c = ref[0], 2*(ref - c), |ref - c|^2. All four parity arms (XLA
+    op, fused kernel, this oracle, the C++ oracle) share this formulation."""
+    c = ref_xy[0]
+    rc = ref_xy - c
+    rn = rc[:, 0] * rc[:, 0] + rc[:, 1] * rc[:, 1]
+    return c, 2.0 * rc, rn
+
+
+def _min_sq_distance(x, y, c, rc2, rn):
+    """clamp(min_j |p - ref_j|^2) via the centered expanded form, matching
+    the solver's ops/mindist.py (reference calc_MinDistance semantics,
+    src/diff_drive_mppi.cpp:183-192, squared; cap at 100 m)."""
+    xc, yc = x - c[0], y - c[1]
+    pn = xc * xc + yc * yc
+    m = float(np.min(rn - xc * rc2[:, 0] - yc * rc2[:, 1]))
+    return min(DIST_CAP * DIST_CAP, max(0.0, pn + m))
 
 
 # rate-limited steering slew limits — single source of truth is the model
@@ -172,6 +187,7 @@ def oracle_step(
     ref_xy, ref_yaw = _calc_ref(path_xy, state[:2], v_ref, dt, resolution, horizon)
 
     # 2-3. Rollout + cost per sample
+    ref_c, ref_rc2, ref_rn = _centered_ref(ref_xy)
     states = np.zeros((num_samples, horizon, state.shape[0]))
     zmps = None
     if model == "full_body":
@@ -186,8 +202,9 @@ def oracle_step(
             zmps[i] = zmp
             cost += yaw_weight * (s[0, 2] - ref_yaw[0]) ** 2
             for t in range(horizon - 2):
-                dmin = _min_distance(s[t, 0], s[t, 1], ref_xy)
-                cost += path_weight * dmin * dmin
+                cost += path_weight * _min_sq_distance(
+                    s[t, 0], s[t, 1], ref_c, ref_rc2, ref_rn
+                )
                 cost += v_weight * (u[t, i, 0] - v_ref) ** 2
                 cost += zmp_weight * zmp[t, 1] ** 2
                 cost += roll_v_weight * (u[t + 1, i, 3] - u[t, i, 3]) ** 2
@@ -195,8 +212,9 @@ def oracle_step(
                     cost += back_weight * u[t, i, 0] ** 2
         else:
             for t in range(horizon):
-                dmin = _min_distance(s[t, 0], s[t, 1], ref_xy)
-                cost += path_weight * dmin * dmin
+                cost += path_weight * _min_sq_distance(
+                    s[t, 0], s[t, 1], ref_c, ref_rc2, ref_rn
+                )
                 if t < horizon - 1:
                     cost += v_weight * (u[t, i, 0] - v_ref) ** 2
         costs[i] = cost

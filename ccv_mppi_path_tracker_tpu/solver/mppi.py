@@ -77,7 +77,8 @@ def mppi_step(
     axis_name: mesh axis for sample-sharded execution.
     use_kernel: run sample+rollout+cost as the fused Pallas kernel
         (kernels/rollout_cost.py) instead of the XLA pipeline. float32 only;
-        K must be a multiple of 1024. With ``noise=None`` the kernel draws its
+        any K (the kernel pads to whole tiles and exactly zero-weights the
+        tail). With ``noise=None`` the kernel draws its
         own (different but deterministic) stream. kernel_interpret=None
         auto-selects interpreter mode off-TPU.
     refine_steps: gradient-smoothed MPPI — polish the sampled update with
@@ -312,21 +313,22 @@ def _kernel_sample_rollout_cost(
     from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
         fused_sample_rollout_cost,
         pack_scalars,
+        padded_k,
+        tile_noise,
+        tile_rows,
     )
 
     if kernel_interpret is None:
         kernel_interpret = jax.default_backend() != "tpu"
-    tm1 = cfg.horizon - 1
     u_dim = u_mean.shape[1]
     mp = model_params if cfg.model == "full_body" else None
     scal = pack_scalars(dt, cp, ref.yaw[0], mp, noise_beta=sp.noise_beta,
                         lam=sp.lam, cost_thresh=cost_thresh)
     seed = jax.random.randint(use_key, (1,), 0, 2**31 - 1, dtype=jnp.int32)
     if noise is not None:
-        # (T-1, K, U) -> tile layout (T-1, U, K/128, 128)
-        noise = jnp.transpose(noise, (0, 2, 1)).reshape(
-            tm1, u_dim, k_local // 128, 128
-        )
+        # (T-1, K, U) -> padded tile layout (T-1, U, k_pad/128, 128)
+        rows = tile_rows(cfg.horizon, u_dim, True, k_local)
+        noise = tile_noise(noise, padded_k(k_local, rows))
     out = fused_sample_rollout_cost(
         u_mean,
         sp.control_noise,

@@ -31,6 +31,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <limits>
 #include <mutex>
 #include <string>
 #include <thread>
@@ -331,6 +332,17 @@ void ccv_oracle_step(int model, int horizon, int num_samples, int u_dim,
   std::vector<double> zmp_y(T > 2 ? T - 2 : 0);
   double min_cost = 1e300;
 
+  // Centered expanded-form distance constants, shared with all parity arms
+  // (ops/mindist.py module docstring): c = ref[0], 2*(ref-c), |ref-c|^2.
+  const double cx = rx[0], cy = ry[0];
+  std::vector<double> rcx2(T), rcy2(T), rn(T);
+  for (int i = 0; i < T; i++) {
+    double dx = rx[i] - cx, dy = ry[i] - cy;
+    rcx2[i] = 2.0 * dx;
+    rcy2[i] = 2.0 * dy;
+    rn[i] = dx * dx + dy * dy;
+  }
+
   for (int k = 0; k < K; k++) {
     // sampling: mean u_prev, injected noise, box clamp
     for (int t = 0; t < tm1; t++)
@@ -374,13 +386,19 @@ void ccv_oracle_step(int model, int horizon, int num_samples, int u_dim,
     // cost
     double cost = 0.0;
     auto mind2 = [&](double x, double y) {
-      double m = kDistCap * kDistCap;
+      // clamp(|pc|^2 + min_i (|rc_i|^2 - 2 pc . rc_i)): two FMAs + one min
+      // per reference point, identical to ops/mindist.py and the kernel.
+      double xc = x - cx, yc = y - cy;
+      double pn = xc * xc + yc * yc;
+      double m = std::numeric_limits<double>::infinity();
       for (int i = 0; i < T; i++) {
-        double dx = x - rx[i], dy = y - ry[i];
-        double d2 = dx * dx + dy * dy;
-        if (d2 < m) m = d2;
+        double t = rn[i] - xc * rcx2[i] - yc * rcy2[i];
+        if (t < m) m = t;
       }
-      return m;
+      double d2 = pn + m;
+      if (d2 < 0.0) d2 = 0.0;
+      if (d2 > kDistCap * kDistCap) d2 = kDistCap * kDistCap;
+      return d2;
     };
     if (model == FULL_BODY) {
       double dyaw = yaws[0] - ryaw[0];

@@ -48,7 +48,9 @@ def test_cli_run_path_selection(capsys):
                "--num-samples", "128", "--no-kernel"])
     assert rc == 0
     assert "solver path: xla\n" in capsys.readouterr().out
-    with pytest.raises(AssertionError):
+    # argparse mutually-exclusive group: clean usage error (works under -O
+    # too, unlike a bare assert)
+    with pytest.raises(SystemExit):
         main(["run", "--preset", "diff_drive", "--steps", "2",
               "--num-samples", "128", "--kernel", "--no-kernel"])
 

@@ -212,3 +212,50 @@ def test_kernel_elite_frac_matches_xla():
         float(b.stats["elite_thresh"]), float(a.stats["elite_thresh"]),
         rtol=1e-6,
     )
+
+
+def test_kernel_masked_tail_matches_xla_at_reference_k():
+    """ANY K is accepted: the reference's own full_body default K=10000
+    (src/full_body_mppi.cpp:10, not a multiple of 128) pads to whole tiles
+    with the tail exactly zero-weighted — the update and costs must match
+    the XLA pipeline at the true K under injected noise."""
+    Km = 10000
+    cfg, sp, cp, course = full_body_launch(
+        num_samples=Km, horizon=T, dtype=np.float32
+    )
+    from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
+        padded_k,
+        tile_rows,
+    )
+
+    rows = tile_rows(T, 5, True, Km)
+    assert padded_k(Km, rows) > Km  # genuinely exercises the mask
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+    ctrl = ControllerState(
+        u_prev=jnp.asarray(
+            np.random.RandomState(1).randn(T - 1, 5) * 0.1, jnp.float32
+        ),
+        key=jax.random.PRNGKey(0),
+        step=jnp.zeros((), jnp.int32),
+    )
+    state = jnp.zeros(5, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(
+        np.random.RandomState(2).randn(T - 1, Km, 5), jnp.float32
+    )
+    dt = jnp.float32(0.1)
+    _, a = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise)
+    _, b = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                     use_kernel=True, kernel_interpret=True)
+    assert b.stats is not None
+    np.testing.assert_allclose(np.asarray(b.u_opt), np.asarray(a.u_opt),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(
+        float(b.stats["min_cost"]), float(a.stats["min_cost"]), rtol=2e-5
+    )
+    # elite_frac's two-pass flow must honor the same mask
+    _, ae = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                      elite_frac=0.1)
+    _, be = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                      elite_frac=0.1, use_kernel=True, kernel_interpret=True)
+    np.testing.assert_allclose(np.asarray(be.u_opt), np.asarray(ae.u_opt),
+                               rtol=2e-4, atol=2e-5)

@@ -49,10 +49,50 @@ def test_min_sq_distance_matches_bruteforce_and_cap():
     brute = np.min(
         np.sum((xy[:, :, None, :] - ref[None, None, :, :]) ** 2, axis=-1), axis=-1
     )
-    np.testing.assert_allclose(out, np.minimum(brute, 1e4), rtol=1e-12)
+    # centered expanded form: |err| <= 10*eps*max(|p-c|^2, W^2) (mindist.py
+    # docstring); operands here are ~(5 sigma)^2 ~ 6e2 -> atol ~ 1.3e-12 f64
+    np.testing.assert_allclose(
+        out, np.minimum(brute, 1e4), rtol=1e-12, atol=2e-12
+    )
     # cap: points 200 m away report the 100 m cap squared
     far = jnp.full((1, 2), 200.0)
     np.testing.assert_allclose(np.asarray(min_sq_distance(far, jnp.array(ref)))[0], 1e4)
+
+
+def test_expanded_form_error_bound():
+    """The centered expanded form's f32 error stays within the documented
+    bound 10*eps*max(|p-c|^2, W^2) even at adversarial near-zero distances
+    on a window far from the origin (where the UNcentered expanded form
+    would lose ~half the mantissa)."""
+    rng = np.random.RandomState(7)
+    # window ~6 m span, centered ~1 km from the origin (large coordinates)
+    base = np.array([1000.0, -800.0])
+    ref64 = base + np.cumsum(rng.rand(30, 2) * 0.2, axis=0)
+    # query points ON and near the reference points: true d^2 ~ 0..1e-4
+    xy64 = np.concatenate([ref64, ref64 + rng.randn(30, 2) * 1e-2], axis=0)
+    exact = np.minimum(
+        np.min(
+            np.sum((xy64[:, None, :] - ref64[None, :, :]) ** 2, axis=-1),
+            axis=-1,
+        ),
+        1e4,
+    )
+    got = np.asarray(
+        min_sq_distance(jnp.asarray(xy64, jnp.float32),
+                        jnp.asarray(ref64, jnp.float32))
+    )
+    w2 = float(np.max(np.sum((ref64 - ref64[0]) ** 2, axis=-1)))
+    pn2 = float(np.max(np.sum((xy64 - ref64[0]) ** 2, axis=-1)))
+    bound = 10 * np.finfo(np.float32).eps * max(w2, pn2)
+    # f32 input rounding of the raw coordinates contributes up to
+    # eps32*|coord| per component to p - ref_j before our arithmetic starts;
+    # account for it separately from the algorithm's own bound.
+    input_err = 4 * np.finfo(np.float32).eps * np.abs(base).max() * (
+        np.sqrt(exact) + 1.0
+    )
+    assert np.all(np.abs(got - exact) <= bound + input_err), (
+        np.abs(got - exact).max(), bound
+    )
 
 
 def test_rollout_straight_line():

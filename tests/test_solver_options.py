@@ -385,14 +385,17 @@ def test_use_kernel_auto_policy():
     from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
     from ccv_mppi_path_tracker_tpu.solver import MPPISolver
 
-    # small workload or tile-incompatible K -> XLA; big + aligned -> kernel
-    assert not should_use_kernel(1000, 15, backend="tpu")   # K not tileable
+    # small workload -> XLA; big -> kernel (any K: the tail is masked)
+    assert not should_use_kernel(1000, 15, backend="tpu")   # below crossover
     assert not should_use_kernel(10240, 15, backend="tpu")  # below crossover
     assert should_use_kernel(102400, 30, backend="tpu")
+    assert should_use_kernel(100000, 30, backend="tpu")     # non-tile K ok
     # per-model crossover: full_body's kernel wins already at the
-    # reference's operating point (K=10240 T=15, BENCH_DETAIL.md), the
-    # cheap 2-3 control models don't
+    # reference's own operating point (K=10000 T=15 padded to 10240 lanes;
+    # measured at K=10240 T=15, BENCH_DETAIL.md), the cheap 2-3 control
+    # models don't
     assert should_use_kernel(10240, 15, backend="tpu", model="full_body")
+    assert should_use_kernel(10000, 15, backend="tpu", model="full_body")
     assert not should_use_kernel(
         10240, 15, backend="tpu", model="steering_unicycle"
     )
@@ -445,3 +448,47 @@ def test_lean_mode_matches_full_result():
     # lean result flattens to just the two actuation leaves + sigma
     leaves = jax.tree_util.tree_leaves(r)
     assert len(leaves) == 3
+
+
+def test_autotune_device_kind_and_calibration(tmp_path):
+    """use_kernel='auto' off the measured-v5e table: unknown device kinds go
+    through the one-shot micro-calibration, whose verdict is cached on disk;
+    calibration failure falls back to the v5e thresholds."""
+    from ccv_mppi_path_tracker_tpu.kernels import autotune
+
+    # known kind: straight to the measured table, no calibration
+    assert autotune.resolve_auto(102400, 30, None, kind="TPU v5 lite")
+    assert not autotune.resolve_auto(1000, 15, None, kind="TPU v5 lite")
+
+    # unknown kind: measure() runs once, verdict cached
+    cal = str(tmp_path / "autocal.json")
+    calls = []
+
+    def fake_measure(model, k, t):
+        calls.append((model, k, t))
+        return True
+
+    assert autotune.resolve_auto(
+        2048, 15, "unicycle", kind="TPU v9", measure=fake_measure,
+        cache_file=cal,
+    )
+    assert calls == [("unicycle", 2048, 15)]
+    # second call: served from the cache file, measure not re-run
+    assert autotune.resolve_auto(
+        2048, 15, "unicycle", kind="TPU v9",
+        measure=lambda *a: (_ for _ in ()).throw(AssertionError("re-ran")),
+        cache_file=cal,
+    )
+
+    # measurement failure: falls back to the v5e table (no cache write)
+    def boom(model, k, t):
+        raise RuntimeError("no device")
+
+    assert autotune.resolve_auto(
+        102400, 30, None, kind="TPU v9", measure=boom,
+        cache_file=str(tmp_path / "other.json"),
+    )
+    assert not autotune.resolve_auto(
+        1000, 15, None, kind="TPU v9", measure=boom,
+        cache_file=str(tmp_path / "other.json"),
+    )
