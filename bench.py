@@ -99,10 +99,15 @@ def main():
     )
     step_args = (state, path, dt, sp, cp)
 
+    # compile_s = trace + (remote) compile + cache load, measured AOT so a
+    # relay stall on the first EXECUTION can't pollute it (warm runs were
+    # reporting 100 s+ "compile" that was really a wedged first fetch).
     t0 = time.time()
-    ctrl, res = step(make_ctrl(), *step_args)
-    fetch(res)
+    compiled = step.lower(make_ctrl(), *step_args).compile()
     compile_s = time.time() - t0
+    del compiled
+    ctrl, res = step(make_ctrl(), *step_args)  # warm the execution path
+    fetch(res)
 
     t_short = min(
         _chain_time(step, make_ctrl, step_args, fetch, args.short)

@@ -5,6 +5,8 @@ from ccv_mppi_path_tracker_tpu.core.config import (
     diff_drive_config,
     steering_diff_drive_config,
     full_body_config,
+    make_cost_params,
+    make_solver_params,
 )
 from ccv_mppi_path_tracker_tpu.core.types import RefWindow, StepResult, ControllerState
 
@@ -18,4 +20,6 @@ __all__ = [
     "diff_drive_config",
     "steering_diff_drive_config",
     "full_body_config",
+    "make_cost_params",
+    "make_solver_params",
 ]

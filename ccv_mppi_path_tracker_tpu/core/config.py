@@ -53,21 +53,18 @@ class SolverConfig:
 
     @property
     def num_controls(self) -> int:
-        return {
-            "unicycle": 2,
-            "steering_unicycle": 3,
-            "rate_limited_steering": 3,
-            "full_body": 5,
-        }[self.model]
+        # resolved through the registry so USER-REGISTERED models work
+        # everywhere a SolverConfig does (examples/custom_model.py); lazy
+        # import avoids a core <-> models import cycle
+        from ccv_mppi_path_tracker_tpu.models.registry import get_model
+
+        return get_model(self.model).num_controls
 
     @property
     def num_states(self) -> int:
-        return {
-            "unicycle": 3,
-            "steering_unicycle": 3,
-            "rate_limited_steering": 4,
-            "full_body": 5,
-        }[self.model]
+        from ccv_mppi_path_tracker_tpu.models.registry import get_model
+
+        return get_model(self.model).num_states
 
 
 @_pytree_dataclass

@@ -21,6 +21,8 @@ from ccv_mppi_path_tracker_tpu.diff.system_id import (
     ControlGains,
     fit_control_gains,
     fit_full_body_params,
+    rollout_prediction_loss,
+    rollout_prediction_value_and_grad,
 )
 
 __all__ = [
@@ -40,4 +42,6 @@ __all__ = [
     "ControlGains",
     "fit_control_gains",
     "fit_full_body_params",
+    "rollout_prediction_loss",
+    "rollout_prediction_value_and_grad",
 ]

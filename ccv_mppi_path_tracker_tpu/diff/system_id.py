@@ -94,6 +94,97 @@ def fit_control_gains(
     return params, losses
 
 
+def rollout_prediction_loss(model_name, params, state0, controls, observed,
+                            dt, axis_name: Optional[str] = None):
+    """Multi-step prediction error: roll the gained model from ``state0``
+    (B, S) under ``controls`` (T-1, B, U) and MSE against the observed
+    trajectory ``observed`` (T-1, B, S). Backprop runs through the whole
+    T-step scan — the heavy-backward workload of the system-ID path."""
+    step = gained_step(model_name)
+
+    def body(s, u):
+        s1 = step(params, s, u, dt)
+        return s1, s1
+
+    _, pred = jax.lax.scan(body, state0, controls)
+    err = pred - observed
+    loss = jnp.mean(jnp.sum(err * err, axis=-1))
+    if axis_name is not None:
+        loss = jax.lax.pmean(loss, axis_name)
+    return loss
+
+
+def rollout_prediction_value_and_grad(
+    model_name,
+    params,
+    state0,
+    controls,
+    observed,
+    dt,
+    axis_name: Optional[str] = None,
+    num_chunks: int = 1,
+):
+    """Loss + parameter gradient of :func:`rollout_prediction_loss` over a
+    (possibly shard_map'ed) batch, with the cross-shard all-reduce
+    optionally OVERLAPPED with backward compute.
+
+    num_chunks=1 is the sequential baseline: one backward over the whole
+    local batch, then one blocking ``psum`` of the finished gradient —
+    collective strictly after all compute. num_chunks=C splits the local
+    batch into C equal buckets and issues each bucket's gradient psum right
+    after that bucket's backward, so XLA's scheduler can run bucket i's
+    collective while bucket i+1's forward+backward computes — the bucketed
+    DP all-reduce (SURVEY.md section 2.5/section 5: "gradient all-reduce
+    overlapped with backward"). The math is identical up to FP
+    re-association of the equal-size bucket sums (measured bit-tight at
+    f64: tests/test_multiprocess.py); measured timings live in
+    BENCH_DETAIL.md.
+    """
+    b_local = state0.shape[0]
+    assert b_local % num_chunks == 0, (b_local, num_chunks)
+    csz = b_local // num_chunks
+    n_shards = 1
+    # accumulators are built from the ORIGINAL (replicated) params so they
+    # keep the replicated vma; the psum'd per-chunk terms folded into them
+    # are replicated too
+    loss = jnp.zeros((), state0.dtype)
+    grad = jax.tree.map(jnp.zeros_like, params)
+    if axis_name is not None:
+        n_shards = jax.lax.axis_size(axis_name)
+        # differentiate w.r.t. a device-VARYING copy of the params: grad of
+        # a replicated input would be auto-psum'd by the pvary transpose,
+        # hiding the collective we want to place (and double-counting it
+        # once we psum explicitly below)
+        params = jax.lax.pcast(params, axis_name, to="varying")
+
+    def chunk_loss(p, sl):
+        # per-chunk SUM of squared errors (not mean): exact bucket algebra
+        step = gained_step(model_name)
+
+        def body(s, u):
+            s1 = step(p, s, u, dt)
+            return s1, s1
+
+        _, pred = jax.lax.scan(body, state0[sl], controls[:, sl])
+        err = pred - observed[:, sl]
+        return jnp.sum(err * err)
+
+    for i in range(num_chunks):  # unrolled: buckets are independent until +=
+        sl = slice(i * csz, (i + 1) * csz)
+        l_i, g_i = jax.value_and_grad(chunk_loss)(params, sl)
+        if axis_name is not None:
+            # per-bucket all-reduce, issued as soon as this bucket's
+            # backward finishes; buckets i+1..C-1 have no data dependency
+            # on it, so their compute can hide the collective's latency
+            l_i = jax.lax.psum(l_i, axis_name)
+            g_i = jax.lax.psum(g_i, axis_name)
+        loss = loss + l_i
+        grad = jax.tree.map(jnp.add, grad, g_i)
+    denom = controls.shape[0] * b_local * n_shards
+    scale = 1.0 / denom
+    return loss * scale, jax.tree.map(lambda g: g * scale, grad)
+
+
 def zmp_loss(params: FullBodyParams, states, controls, observed_zmp_y, dt,
              axis_name: Optional[str] = None):
     """MSE of predicted vs observed lateral ZMP over rollouts.

@@ -72,6 +72,15 @@ KERNEL_MODELS = (
     "unicycle", "steering_unicycle", "rate_limited_steering", "full_body"
 )
 
+# Distance-scan variant switches, consulted at TRACE time — production
+# defaults are the measured winners (artifacts/ab_mindist.json,
+# scripts/ab_mindist.py times all four combinations interleaved on the real
+# chip). "difference" restores the 5-op (x-rx)^2+(y-ry)^2 form (on centered
+# coordinates); "full" restores the fully-unrolled scan with constant
+# indices. Both are kept for A/B experiments, not for serving.
+_DIST_FORM = "expanded"  # "expanded" | "difference"
+_MINDIST_UNROLL = "chunk"  # "chunk" | "full"
+
 
 def should_use_kernel(num_samples: int, horizon: int,
                       backend: Optional[str] = None,
@@ -284,36 +293,53 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         yaw = jnp.full((_ROWS, _LANES), st(2))
         cost = jnp.zeros((_ROWS, _LANES), jnp.float32)
 
+        dist_form = _DIST_FORM
+        mindist_unroll = _MINDIST_UNROLL
+
         def path_d2(xv, yv):
             # Centered expanded form (ops/mindist.py module docstring): the
             # wrapper passes [2*(ref-c), |ref-c|^2] per reference point and a
             # rollout start centered at c = ref[0], so the inner loop is two
             # FMAs + one min per point — 3 vector ops vs 5 for the
             # difference form, on the kernel's largest op group. Chunked
-            # unroll (vs the old unroll=num_ref) keeps the Mosaic program
+            # loop (vs the old unroll=num_ref) keeps the Mosaic program
             # small at large T*T_ref — full unrolling inside the t-loop was
-            # the dominant cold-compile cost.
-            pn = xv * xv + yv * yv
-            ch = 8  # hand-rolled chunk: Mosaic's scan lowering only accepts
-            # unroll=1 or full unroll, so the body statically covers `ch`
-            # points and the remainder runs as a static epilogue.
-            nch = num_ref // ch
+            # the dominant cold-compile cost (141 s at the flagship config).
+            if dist_form == "expanded":
+                pn = xv * xv + yv * yv
 
-            def term(j):
-                return refp(j, 2) - xv * refp(j, 0) - yv * refp(j, 1)
-
-            def body(i, m):
-                base = i * ch
-                for p in range(ch):
-                    m = jnp.minimum(m, term(base + p))
-                return m
+                def term(j):
+                    return refp(j, 2) - xv * refp(j, 0) - yv * refp(j, 1)
+            else:  # "difference" (A/B experiment arm)
+                def term(j):
+                    dx = xv - refp(j, 0)
+                    dy = yv - refp(j, 1)
+                    return dx * dx + dy * dy
 
             m = jnp.full((_ROWS, _LANES), jnp.inf)
-            if nch:
-                m = jax.lax.fori_loop(0, nch, body, m, unroll=1)
-            for j in range(nch * ch, num_ref):
-                m = jnp.minimum(m, term(j))
-            return jnp.minimum(jnp.maximum(pn + m, 0.0), cap2)
+            if mindist_unroll == "full":
+                for j in range(num_ref):  # constant indices, full unroll
+                    m = jnp.minimum(m, term(j))
+            else:
+                # hand-rolled chunk: Mosaic's scan lowering only accepts
+                # unroll=1 or full, so the body statically covers `ch`
+                # points and the remainder runs as a static epilogue.
+                ch = 8
+                nch = num_ref // ch
+
+                def body(i, m):
+                    base = i * ch
+                    for p in range(ch):
+                        m = jnp.minimum(m, term(base + p))
+                    return m
+
+                if nch:
+                    m = jax.lax.fori_loop(0, nch, body, m, unroll=1)
+                for j in range(nch * ch, num_ref):
+                    m = jnp.minimum(m, term(j))
+            if dist_form == "expanded":
+                m = pn + m
+            return jnp.minimum(jnp.maximum(m, 0.0), cap2)
 
         # The time loop is a fori_loop with dynamic indexing into the u_out
         # VMEM block — unrolling T=30..100 steps made Mosaic compiles
@@ -525,7 +551,10 @@ def fused_sample_rollout_cost(
     # enter the cost only through distances, which are translation-invariant,
     # and rollout states never leave the kernel, so the shift is unobservable.
     c, rc2, rn = center_ref(ref_xy)
-    ref_xy = jnp.concatenate([rc2, rn[..., None]], axis=-1)
+    if _DIST_FORM == "expanded":
+        ref_xy = jnp.concatenate([rc2, rn[..., None]], axis=-1)
+    else:  # difference-form A/B arm: centered raw refs in the first 2 cols
+        ref_xy = jnp.concatenate([0.5 * rc2, rn[..., None]], axis=-1)
     state0 = jnp.concatenate([state0[..., :2] - c, state0[..., 2:]], axis=-1)
     rows = tile_rows(horizon, u_dim, noise is not None, num_samples)
     tile = rows * _LANES

@@ -25,18 +25,20 @@ def elite_threshold(
     costs: jax.Array,
     frac: float,
     axis_name: Optional[str] = None,
-    iters: int = 64,
 ):
     """Global cost threshold selecting the best ``frac`` of ALL samples.
 
-    Returns the (approximately) ``ceil(frac * K_global)``-th smallest cost,
-    found by value bisection bracketed by the global min/max. Every reduction
-    is exact (pmin/pmax of the bracket, psum of integer counts), so the
-    bisection iterates are bit-identical whether ``costs`` is the full vector
-    on one device or a shard under ``axis_name`` — sharded elite selection
-    therefore matches single-device exactly. 64 halvings shrink the bracket
-    by 2^64, far below one ulp of any realistic cost scale, so the returned
-    threshold separates the k-th and (k+1)-th order statistics exactly.
+    Returns EXACTLY the ``round(frac * K_global)``-th smallest cost, found
+    by radix select over the order-preserving unsigned-integer transform of
+    the float bits (sign bit flipped for non-negatives, all bits flipped for
+    negatives — so unsigned key order == float order). Each round
+    histograms one 8-bit digit of the keys still in contention and descends
+    into the bucket containing the target rank. Every reduction is an exact
+    integer psum, so the sharded selection is bit-identical to
+    single-device — and the whole selection costs ceil(nbits/8) collective
+    rounds (4 for f32, 8 for f64) versus the 64 sequential psum rounds of
+    the value-bisection it replaces: at DCN latencies the collectives, not
+    the flops, bound the sharded elite step.
     """
     k_local = costs.shape[0]
     n_shards = 1
@@ -44,24 +46,37 @@ def elite_threshold(
         n_shards = jax.lax.axis_size(axis_name)
     target = max(1, int(round(frac * k_local * n_shards)))
 
-    lo = jnp.min(costs)
-    hi = jnp.max(costs)
-    if axis_name is not None:
-        lo = jax.lax.pmin(lo, axis_name)
-        hi = jax.lax.pmax(hi, axis_name)
+    nbits = costs.dtype.itemsize * 8
+    udt = jnp.uint32 if nbits == 32 else jnp.uint64
+    sign = jnp.asarray(1, udt) << (nbits - 1)
+    b = jax.lax.bitcast_convert_type(costs, udt)
+    key = jnp.where(b & sign != 0, ~b, b | sign)
 
-    def body(_, lohi):
-        lo, hi = lohi
-        mid = 0.5 * (lo + hi)
-        count = jnp.sum((costs <= mid).astype(jnp.int32))
+    digit_bits = 8
+    nbuckets = 1 << digit_bits
+    mask = jnp.asarray(nbuckets - 1, udt)
+    prefix = jnp.zeros((), udt)  # selected high bits so far
+    rank = jnp.asarray(target, jnp.int32)  # rank within the current bucket
+    for r in range(nbits // digit_bits):
+        shift = nbits - digit_bits * (r + 1)
+        digit = (key >> shift) & mask
+        if r == 0:
+            active = jnp.ones_like(digit, jnp.int32)
+        else:
+            active = (key >> (shift + digit_bits) == prefix).astype(jnp.int32)
+        hist = jnp.zeros((nbuckets,), jnp.int32).at[digit].add(
+            active, mode="drop"
+        )
         if axis_name is not None:
-            count = jax.lax.psum(count, axis_name)
-        keep = count >= target
-        # invariant: count(<= hi) >= target always holds
-        return jnp.where(keep, lo, mid), jnp.where(keep, mid, hi)
-
-    _, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
-    return hi
+            hist = jax.lax.psum(hist, axis_name)
+        cum = jnp.cumsum(hist)
+        bucket = jnp.argmax(cum >= rank).astype(jnp.int32)
+        below = jnp.where(bucket > 0, cum[bucket - 1], 0)
+        rank = rank - below
+        prefix = (prefix << digit_bits) | bucket.astype(udt)
+    # invert the monotone transform: prefix is the k-th smallest key
+    raw = jnp.where(prefix & sign != 0, prefix & ~sign, ~prefix)
+    return jax.lax.bitcast_convert_type(raw, costs.dtype)
 
 
 def softmax_weights(

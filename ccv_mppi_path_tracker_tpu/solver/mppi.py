@@ -113,7 +113,7 @@ def mppi_step(
         of samples by global cost rank (weights of the rest set to zero
         before normalizing) — the CEM<->MPPI interpolation; elite_frac=1.0
         is exactly vanilla MPPI. Works on every path: sharded (the rank
-        threshold bisection spans all shards via exact psum counts,
+        threshold radix select spans all shards via exact psum counts,
         ops/softmax_update.py elite_threshold) and fused-kernel (a second
         kernel pass re-accumulates the update with the sub-threshold mask;
         the per-tile PRNG reseed makes the regenerated samples identical).

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Register a FIFTH, user-defined dynamics model and run it end to end.
+
+The reference grew its model families by copy-pasting whole controller nodes
+(src/diff_drive_mppi.cpp -> src/steering_diff_drive_mppi.cpp ->
+src/full_body_mppi.cpp, ~400-660 LoC each); here a new family is one pure
+step function plus ``register_model`` — no framework-core edits. This
+example adds a **kinematic bicycle** (state (x, y, yaw), controls
+(v, delta), wheelbase L: yaw' = yaw + v*tan(delta)/L * dt) and drives it
+through every major surface:
+
+  1. single-device ``mppi_step`` / ``MPPISolver``
+  2. ``use_kernel="auto"`` — correctly falls back to the XLA pipeline
+     (the fused kernel only implements the built-in families)
+  3. the sample-sharded path (``build_sharded_step`` over a "samples" mesh)
+  4. a closed-loop tracking run with the calc_e_rmse-style metrics
+
+Run:  python examples/custom_model.py
+Test: tests/test_custom_model.py executes all four stages in CI.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ccv_mppi_path_tracker_tpu.core import (
+    ControllerState,
+    SolverConfig,
+    make_cost_params,
+    make_solver_params,
+)
+from ccv_mppi_path_tracker_tpu.models import Model, register_model
+
+WHEELBASE = 0.5  # m — about the CCV's footprint
+STEER_MAX = 35.0 * math.pi / 180.0
+
+
+def bicycle_step(state, u, dt):
+    """Pure batched Euler step (rows broadcast: (..., 3) x (..., 2))."""
+    x, y, yaw = state[..., 0], state[..., 1], state[..., 2]
+    v = u[..., 0]
+    delta = jnp.clip(u[..., 1], -STEER_MAX, STEER_MAX)
+    return jnp.stack(
+        [
+            x + v * jnp.cos(yaw) * dt,
+            y + v * jnp.sin(yaw) * dt,
+            yaw + v * jnp.tan(delta) / WHEELBASE * dt,
+        ],
+        axis=-1,
+    )
+
+
+BICYCLE = register_model(Model(
+    name="kinematic_bicycle",
+    state_names=("x", "y", "yaw"),
+    control_names=("v", "delta"),
+    step=bicycle_step,
+))
+
+
+def make_problem(num_samples=2048, horizon=20):
+    """Config + params + course for the bicycle tracker."""
+    from ccv_mppi_path_tracker_tpu.paths import (
+        PathBuffer,
+        sum_of_cosines_course,
+    )
+
+    cfg = SolverConfig(
+        model="kinematic_bicycle", num_samples=num_samples, horizon=horizon
+    )
+    # steering needs wider exploration + a sharper softmax than the builtin
+    # diff-drive tuning: the yaw rate is v*tan(delta)/L, so small delta noise
+    # barely bends candidate rollouts (swept: lam=0.3/sigma_delta=0.2 tracks
+    # at RMSE ~0.06 vs 0.17 for the diff-drive-style tuning)
+    sp = make_solver_params(
+        control_noise=[0.3, 0.2],
+        lam=0.3,
+        u_min=[-1.0, -STEER_MAX],
+        u_max=[2.0, STEER_MAX],
+    )
+    cp = make_cost_params(v_ref=1.2, path_weight=10.0, v_weight=1.0)
+    course = sum_of_cosines_course(
+        amplitudes=(1.0, 0.0, 0.0), frequencies=(0.2, 0.0, 0.0),
+        deltas=(0.0, 0.0, 0.0), resolution=0.1, course_length=18.0,
+        dtype=np.float32,
+    )
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+    return cfg, sp, cp, course, path
+
+
+def closed_loop_rmse(steps=150, num_samples=2048, horizon=20,
+                     use_sharded=False):
+    """Track the course with the bicycle as both controller model and plant;
+    returns the calc_e_rmse-style metrics dict."""
+    from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
+    from ccv_mppi_path_tracker_tpu.solver import MPPISolver
+
+    cfg, sp, cp, course, path = make_problem(num_samples, horizon)
+    if use_sharded:
+        from ccv_mppi_path_tracker_tpu.parallel import (
+            build_sharded_step,
+            samples_mesh,
+        )
+
+        mesh = samples_mesh()
+        step = build_sharded_step(cfg, mesh)
+        ctrl = ControllerState.initial(
+            jax.random.PRNGKey(0), horizon, BICYCLE.num_controls
+        )
+    else:
+        solver = MPPISolver(cfg, use_kernel="auto")
+        step, ctrl = solver.step, solver.init(0)
+
+    dt = jnp.float32(0.1)
+    state = jnp.asarray([0.0, float(course[0, 1]), 0.0], jnp.float32)
+    xs = []
+    for _ in range(steps):
+        ctrl, res = step(ctrl, state, path, dt, sp, cp)
+        state = bicycle_step(state, res.u0, dt)  # plant == model here
+        xs.append(np.asarray(state[:2]))
+    return tracking_metrics(np.stack(xs), course, dt=0.1)
+
+
+def main():
+    from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
+    from ccv_mppi_path_tracker_tpu.solver import MPPISolver
+
+    cfg, sp, cp, course, path = make_problem()
+    # auto falls back to the XLA pipeline: no kernel arm for custom models
+    assert not should_use_kernel(
+        cfg.num_samples, cfg.horizon, backend="tpu", model=cfg.model
+    )
+    solver = MPPISolver(cfg, use_kernel="auto")
+    print(f"model registered: {BICYCLE.name} "
+          f"(S={cfg.num_states}, U={cfg.num_controls}); "
+          f"solver path: {'kernel' if solver.use_kernel else 'xla'}")
+
+    m = closed_loop_rmse()
+    print(f"single-device closed loop: RMSE {m['rmse']:.3f} m, "
+          f"max {m['max_error']:.3f} m")
+    if len(jax.devices()) > 1:
+        ms = closed_loop_rmse(steps=30, use_sharded=True)
+        print(f"sharded ({len(jax.devices())} devices) closed loop: "
+              f"RMSE {ms['rmse']:.3f} m")
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,16 @@ def main():
     p.add_argument("--horizon", type=int, default=10)
     p.add_argument("--timing-iters", type=int, default=30,
                    help="steady-state chained steps to time (0 = skip)")
+    p.add_argument("--elite", action="store_true",
+                   help="also time an elite_frac=0.25 sharded step (adds "
+                        "the radix-select rank threshold's 8 digit-histogram "
+                        "psum rounds to the 3 vanilla collectives)")
+    p.add_argument("--grad-batch", type=int, default=0,
+                   help="if > 0: run the system-ID gradient all-reduce "
+                        "benchmark over this global transition batch — "
+                        "sequential (num_chunks=1) vs backward-overlapped "
+                        "bucketed psum (num_chunks=4, 8)")
+    p.add_argument("--grad-horizon", type=int, default=32)
     p.add_argument("--x64", action="store_true")
     args = p.parse_args()
 
@@ -127,17 +137,117 @@ def main():
         float(np.asarray(r.u_opt.addressable_data(0))[0, 0])
         step_s = (time.perf_counter() - t0) / args.timing_iters
 
+    # elite_frac sharded step: the rank-threshold radix select adds 8
+    # digit-histogram psum rounds (f64) to the 3 vanilla collectives —
+    # measure what that costs per step across the process boundary.
+    step_elite_s = 0.0
+    if args.elite and args.timing_iters:
+        from ccv_mppi_path_tracker_tpu.parallel.sharded import (
+            build_sharded_step as _bss,
+        )
+
+        step_e = _bss(cfg, mesh, solver_options={"elite_frac": 0.25})
+        c = ctrl2
+        c, r = step_e(c, state, path, dt, sp, cp)  # warm
+        float(np.asarray(r.u_opt.addressable_data(0))[0, 0])
+        t0 = time.perf_counter()
+        for _ in range(args.timing_iters):
+            c, r = step_e(c, state, path, dt, sp, cp)
+        float(np.asarray(r.u_opt.addressable_data(0))[0, 0])
+        step_elite_s = (time.perf_counter() - t0) / args.timing_iters
+
+    grad_extra = {}
+    if args.grad_batch:
+        grad_extra = _grad_bench(args, mesh, dtype, put)
+
     np.savez(
         args.out,
         u_opt=u_opt,
         min_cost=min_cost,
         ess=ess,
         step_s=step_s,
+        step_elite_s=step_elite_s,
         n_global_devices=n_global,
         process_count=jax.process_count(),
+        **grad_extra,
     )
     print(f"process {args.process_id}: ok, {n_global} global devices, "
           f"step={step_s * 1e3:.2f} ms", flush=True)
+
+
+def grad_bench_data(batch, horizon, dtype):
+    """Deterministic synthetic transitions, shared by every process and by
+    tests/test_multiprocess.py's single-process cross-check."""
+    import numpy as np
+
+    state0 = np.zeros((batch, 3), dtype)
+    controls = np.random.RandomState(1).randn(horizon, batch, 2).astype(dtype) * 0.5
+    observed = np.random.RandomState(2).randn(horizon, batch, 3).astype(dtype) * 0.1
+    return state0, controls, observed
+
+
+def _grad_bench(args, mesh, dtype, put):
+    """System-ID gradient all-reduce: sequential (one psum after the whole
+    backward) vs backward-overlapped bucketed psums
+    (diff/system_id.py rollout_prediction_value_and_grad)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ccv_mppi_path_tracker_tpu.diff.system_id import (
+        ControlGains,
+        rollout_prediction_value_and_grad,
+    )
+    from ccv_mppi_path_tracker_tpu.parallel import SAMPLES_AXIS
+
+    B, Tg = args.grad_batch, args.grad_horizon
+    state0, controls, observed = grad_bench_data(B, Tg, dtype)
+    b_proc = B // args.num_processes
+    sl = slice(args.process_id * b_proc, (args.process_id + 1) * b_proc)
+    mk = jax.make_array_from_process_local_data
+    state0_g = mk(NamedSharding(mesh, P(SAMPLES_AXIS, None)), state0[sl],
+                  global_shape=state0.shape)
+    csh = NamedSharding(mesh, P(None, SAMPLES_AXIS, None))
+    controls_g = mk(csh, controls[:, sl], global_shape=controls.shape)
+    observed_g = mk(csh, observed[:, sl], global_shape=observed.shape)
+    params = put(ControlGains(gains=jnp.ones((2,), dtype)))
+
+    def make(num_chunks):
+        def f(p, s0, c, o):
+            return rollout_prediction_value_and_grad(
+                "unicycle", p, s0, c, o, jnp.asarray(0.1, dtype),
+                axis_name=SAMPLES_AXIS, num_chunks=num_chunks,
+            )
+
+        return jax.jit(jax.shard_map(
+            f, mesh=mesh,
+            in_specs=(P(), P(SAMPLES_AXIS, None), P(None, SAMPLES_AXIS, None),
+                      P(None, SAMPLES_AXIS, None)),
+            out_specs=(P(), P()),
+        ))
+
+    chunk_counts = (1, 4, 8)
+    fns = {c: make(c) for c in chunk_counts}
+    out = {}
+    for c, fn in fns.items():  # warm + record values
+        loss, grad = fn(params, state0_g, controls_g, observed_g)
+        out[f"grad_loss_{c}"] = float(np.asarray(loss.addressable_data(0)))
+        out[f"grad_gains_{c}"] = np.asarray(grad.gains.addressable_data(0))
+    reps, inner = 5, 10
+    times = {c: [] for c in chunk_counts}
+    for _ in range(reps):  # interleave the arms against load drift
+        for c, fn in fns.items():
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                loss, grad = fn(params, state0_g, controls_g, observed_g)
+            float(np.asarray(grad.gains.addressable_data(0))[0])
+            times[c].append((time.perf_counter() - t0) / inner)
+    for c in chunk_counts:
+        out[f"grad_ms_{c}"] = min(times[c]) * 1e3
+    return out
 
 
 if __name__ == "__main__":

@@ -24,6 +24,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "scripts", "multiprocess_worker.py")
 
 T, K = 10, 64
+GRAD_B, GRAD_T = 1024, 32
 
 
 def _free_port():
@@ -59,6 +60,9 @@ def two_process_results(tmp_path_factory):
                 "--horizon", str(T),
                 "--out", outs[i],
                 "--x64",
+                "--elite",
+                "--grad-batch", str(GRAD_B),
+                "--grad-horizon", str(GRAD_T),
             ],
             env=_child_env(),
             stdout=subprocess.PIPE,
@@ -123,3 +127,42 @@ def test_two_processes_agree_with_each_other(two_process_results):
     a, b = two_process_results
     np.testing.assert_array_equal(a["u_opt"], b["u_opt"])
     assert a["step_s"] > 0 and b["step_s"] > 0
+    # elite_frac sharded step ran and was timed (radix-select threshold:
+    # 8 digit-histogram psums on top of the 3 vanilla collectives)
+    assert a["step_elite_s"] > 0 and b["step_elite_s"] > 0
+
+
+def test_overlapped_grad_allreduce_matches_sequential(two_process_results):
+    """System-ID gradient across a REAL process boundary: the
+    backward-overlapped bucketed psum (num_chunks=4, 8) must equal the
+    sequential single-psum gradient (num_chunks=1), both processes must
+    agree, and both must match a single-process evaluation of the same
+    batch. Timings are recorded for BENCH_DETAIL.md."""
+    import jax.numpy as jnp
+
+    from ccv_mppi_path_tracker_tpu.diff.system_id import (
+        ControlGains,
+        rollout_prediction_value_and_grad,
+    )
+
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from multiprocess_worker import grad_bench_data
+
+    state0, controls, observed = grad_bench_data(GRAD_B, GRAD_T, np.float64)
+    params = ControlGains(gains=jnp.ones((2,), jnp.float64))
+    loss1, grad1 = rollout_prediction_value_and_grad(
+        "unicycle", params, jnp.asarray(state0), jnp.asarray(controls),
+        jnp.asarray(observed), jnp.float64(0.1),
+    )
+    for r in two_process_results:
+        for c in (1, 4, 8):
+            np.testing.assert_allclose(
+                r[f"grad_gains_{c}"], np.asarray(grad1.gains),
+                rtol=1e-12, atol=1e-14,
+            )
+            np.testing.assert_allclose(
+                float(r[f"grad_loss_{c}"]), float(loss1), rtol=1e-12
+            )
+            assert r[f"grad_ms_{c}"] > 0
+    a, b = two_process_results
+    np.testing.assert_array_equal(a["grad_gains_4"], b["grad_gains_4"])

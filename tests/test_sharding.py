@@ -127,8 +127,8 @@ def test_sharded_kernel_path_matches_sharded_xla():
 
 
 def test_sharded_elite_frac_matches_single_device():
-    """elite_frac under shard_map: the rank-threshold bisection uses only
-    exact reductions (pmin/pmax bracket, integer-count psum), so the sharded
+    """elite_frac under shard_map: the rank-threshold radix select uses only
+    exact reductions (integer digit-histogram psums), so the sharded
     elite update equals the single-device one bit-tightly."""
     cfg, sp, cp, path, ctrl, state = _setup(full_body_launch)
     noise = jnp.asarray(np.random.RandomState(7).randn(T - 1, K, 5))
@@ -158,7 +158,7 @@ def test_sharded_elite_frac_matches_single_device():
 
 def test_sharded_kernel_elite_matches_single_device_xla():
     """All three at once — elite_frac on the fused kernel under shard_map:
-    the rank threshold spans shards exactly (psum-count bisection) and the
+    the rank threshold spans shards exactly (psum-count radix select) and the
     kernel's second (masked) pass regenerates identical samples per shard,
     so the result matches the single-device XLA elite update at f32
     round-off."""
