@@ -80,6 +80,11 @@ KERNEL_MODELS = (
 # indices. Both are kept for A/B experiments, not for serving.
 _DIST_FORM = "expanded"  # "expanded" | "difference"
 _MINDIST_UNROLL = "chunk"  # "chunk" | "full"
+# Time-loop structure: "fori" (dynamic u_out indexing, small program) vs
+# "unroll" (constant indices; measures whether dynamic VMEM indexing is
+# what keeps the t-loop at ~3.6 ms of the 4.8 ms K=1M step —
+# artifacts/kernel_ablation.json).
+_TLOOP = "fori"  # "fori" | "unroll"
 
 
 def should_use_kernel(num_samples: int, horizon: int,
@@ -341,6 +346,17 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 m = pn + m
             return jnp.minimum(jnp.maximum(m, 0.0), cap2)
 
+        def t_loop(bound, body, carry):
+            # The time loop is a fori_loop with dynamic indexing into the
+            # u_out VMEM block by default — unrolling T=30..100 steps made
+            # Mosaic compiles pathologically slow before the distance scan
+            # was chunked; _TLOOP="unroll" is the constant-index A/B arm.
+            if _TLOOP == "unroll":
+                for t in range(bound):
+                    carry = body(t, carry)
+                return carry
+            return jax.lax.fori_loop(0, bound, body, carry)
+
         # The time loop is a fori_loop with dynamic indexing into the u_out
         # VMEM block — unrolling T=30..100 steps made Mosaic compiles
         # pathologically slow.
@@ -366,8 +382,8 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 steer = jnp.clip(steer + rate * dt, -STEER_MAX, STEER_MAX)
                 return x, y, yaw, steer, cost
 
-            x, y, yaw, steer, cost = jax.lax.fori_loop(
-                0, tm1, rl_body, (x, y, yaw, steer, cost)
+            x, y, yaw, steer, cost = t_loop(
+                tm1, rl_body, (x, y, yaw, steer, cost)
             )
             cost += sc(2) * path_d2(x, y)  # final state's path term
         elif model in ("unicycle", "steering_unicycle"):
@@ -385,8 +401,8 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 yaw = yaw + w * dt
                 return x, y, yaw, cost
 
-            x, y, yaw, cost = jax.lax.fori_loop(
-                0, tm1, step_body, (x, y, yaw, cost)
+            x, y, yaw, cost = t_loop(
+                tm1, step_body, (x, y, yaw, cost)
             )
             cost += sc(2) * path_d2(x, y)  # final state's path term
         else:  # full_body (ops/costs.py full_body_cost)
@@ -397,6 +413,15 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             gz = sc(14)
             dyaw0 = yaw - sc(8)
             cost += sc(7) * dyaw0 * dyaw0
+
+            # scalar reciprocals hoisted out of the loop: /dt (twice) and
+            # /bz were VECTOR divisions per propagation — multi-pass VPU
+            # ops — replaced by one scalar divide each + vector multiplies.
+            # FP effect is <=2 ulp on da/hgx/zmp_y, far inside the kernel
+            # parity tolerances (tests/test_kernel.py rtol 2e-5).
+            rdt = 1.0 / dt
+            bz = mass * gz
+            rbz = 1.0 / bz
 
             def fb_body(t, carry):
                 x, y, yaw, roll, pitch, cost = carry
@@ -409,18 +434,17 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 cost += sc(5) * droll_v * droll_v
                 cost += sc(6) * jnp.where(v < 0.0, v * v, 0.0)
                 # ZMP chain (models/full_body.py zmp_chain)
-                da = (u_out[t + 1, 0] - v) / dt
+                da = (u_out[t + 1, 0] - v) * rdt
                 ac = v * w
                 cd, sd = jnp.cos(direc), jnp.sin(direc)
                 ay = da * sd + ac * cd
-                hgx = ixx * droll_v / dt
+                hgx = ixx * droll_v * rdt
                 # zmp_y needs only M_O_x = com_y*b_z - com_z*b_y - hg_x
                 com_y = -c * jnp.sin(roll)
                 com_z = c * jnp.cos(pitch) * jnp.cos(roll)
-                bz = mass * gz
                 by = -mass * ay
                 mo_x = com_y * bz - com_z * by - hgx
-                zmp_y = mo_x / bz
+                zmp_y = mo_x * rbz
                 cost += sc(4) * zmp_y * zmp_y
                 # Euler step (runs for every t in [0, T-3]; states at T-2 and
                 # T-1 are never read by the cost)
@@ -432,8 +456,8 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 pitch = pitch + pitch_v * dt
                 return x, y, yaw, roll, pitch, cost
 
-            out = jax.lax.fori_loop(
-                0, horizon - 2, fb_body, (x, y, yaw, roll, pitch, cost)
+            out = t_loop(
+                horizon - 2, fb_body, (x, y, yaw, roll, pitch, cost)
             )
             cost = out[5]
 
@@ -462,8 +486,10 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         m_ref[0] = m_new
         # exact rescale of prior partials to the improved baseline; on the
         # first tile m_prev = inf so the factor is exp(-inf) = 0 over zeros.
-        factor = jnp.exp(-(m_prev - m_new) / lam)
-        w = jnp.exp(-(cost - m_new) / lam)
+        # neg_rlam: one scalar divide instead of a vector divide per element
+        neg_rlam = -1.0 / lam
+        factor = jnp.exp((m_prev - m_new) * neg_rlam)
+        w = jnp.exp((cost - m_new) * neg_rlam)
         w = jnp.where(cost <= sc(17), w, 0.0)  # elite mask (thresh=inf: all)
         if masked:
             w = jnp.where(valid, w, 0.0)
