@@ -67,10 +67,25 @@ def rollout_closed_form(model_name: str, state0: jax.Array,
     """
     assert model_name in CLOSED_FORM_MODELS, model_name
     v, w = controls[..., 0], controls[..., 1]
+    batched = state0.ndim > 1
+    if batched:
+        # prefix sums as one lower-triangular (T-1, T-1) matmul on the
+        # otherwise-idle MXU: measured 2.4x faster than jnp.cumsum at
+        # K=102400 T=30 (artifacts/xla_breakdown.json, max |diff| 3e-7 f32;
+        # HIGHEST precision keeps f32 operands at ~f32 accuracy on the MXU's
+        # bf16 passes). The single-trajectory re-roll keeps the cumsum —
+        # a (T,T) matmul over one column is all launch overhead.
+        tri = jnp.tril(jnp.ones((controls.shape[0],) * 2, controls.dtype))
 
     def integrate(rate):
         # (T-1, ...) rates -> (T, ...) running integral starting at 0
-        run = jnp.cumsum(rate, axis=0) * dt
+        if batched:
+            run = jnp.einsum(
+                "st,t...->s...", tri, rate,
+                precision=jax.lax.Precision.HIGHEST,
+            ) * dt
+        else:
+            run = jnp.cumsum(rate, axis=0) * dt
         zero = jnp.zeros_like(run[:1])
         return jnp.concatenate([zero, run], axis=0)
 

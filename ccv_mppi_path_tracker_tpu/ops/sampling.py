@@ -31,16 +31,23 @@ STEER_DIM = 2
 
 def color_noise(white, beta):
     """First-order low-pass over the horizon: eps_t = b*eps_{t-1} +
-    sqrt(1-b^2)*eta_t. Unit marginal variance for any b; b=0 is the identity
-    (the reference's white sampling), so this is branch-free under jit."""
-    scale = jnp.sqrt(1.0 - beta * beta)
+    sqrt(1-b^2)*eta_t. Unit marginal variance for any b; b=0 is the exact
+    identity (the reference's white sampling). beta is a traced SolverParams
+    field (retuning never recompiles), so the b=0 fast path is a runtime
+    ``lax.cond`` that skips the (T-1)-step sequential scan — ~30 extra
+    (K, U)-sized fusions per solve — on the default white-noise path."""
 
-    def body(prev, eta):
-        eps = beta * prev + scale * eta
-        return eps, eps
+    def colored(white):
+        scale = jnp.sqrt(1.0 - beta * beta)
 
-    _, colored = jax.lax.scan(body, white[0], white[1:])
-    return jnp.concatenate([white[:1], colored], axis=0)
+        def body(prev, eta):
+            eps = beta * prev + scale * eta
+            return eps, eps
+
+        _, rest = jax.lax.scan(body, white[0], white[1:])
+        return jnp.concatenate([white[:1], rest], axis=0)
+
+    return jax.lax.cond(beta == 0.0, lambda n: n, colored, white)
 
 
 def sample_controls(
@@ -61,8 +68,23 @@ def sample_controls(
     """
     tm1, u_dim = u_prev.shape
     if noise is None:
+        # Draw through the RBG generator: the default threefry normal was
+        # 63% of the whole XLA-pipeline step at K=102400
+        # (artifacts/xla_breakdown.json — threefry computes its counters on
+        # the VPU; RBG uses the TPU's hardware RNG instruction). The key is
+        # deterministically derived from the solver's threefry key, so
+        # resume/replay stay exact; the stream differs from threefry's but
+        # any fixed stream is equally valid for exploration noise (parity
+        # tests inject `noise` explicitly and never hit this path).
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            kd = jax.random.key_data(key)  # typed key -> (2,) uint32
+        else:
+            kd = key  # legacy raw (2,) uint32 key
+        rbg = jax.random.wrap_key_data(
+            jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg"
+        )
         noise = jax.random.normal(
-            key, (tm1, num_samples, u_dim), dtype=u_prev.dtype
+            rbg, (tm1, num_samples, u_dim), dtype=u_prev.dtype
         )
     noise = color_noise(noise, params.noise_beta)
     u = u_prev[:, None, :] + noise * params.control_noise
