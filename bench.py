@@ -44,7 +44,7 @@ def main():
     p.add_argument("--horizon", type=int, default=30)
     p.add_argument("--short", type=int, default=8)
     p.add_argument("--long", type=int, default=72)
-    p.add_argument("--reps", type=int, default=6,
+    p.add_argument("--reps", type=int, default=10,
                    help="repetitions per chain length; min is used (relay "
                         "round-trip jitter and transient service load are "
                         "additive noise; observed up to ~10x inflation under "

@@ -52,18 +52,22 @@ _LANES = 128
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-# Crossovers measured on TPU v5e (BENCH_DETAIL.md): below ~3e5 state
-# propagations per update the kernel's fixed setup cost loses to the XLA
-# pipeline for the cheap 2-3 control models (steering_unicycle K=10240
-# T=15: 0.66 vs 0.24 ms). full_body's per-propagation work (5 controls +
-# ZMP chain) is heavy enough that the kernel already wins at the
-# reference's own operating point — K=10240 T=15 measured 0.43 vs 0.77 ms.
-# The scalar props = K*(T-1) proxy generalizes each measured (K, T) point
-# to nearby shapes; extreme aspect ratios (tiny K, huge T) are covered by
-# the K=102400 T=100 row, not by fresh measurements. On device kinds other
+# Crossovers measured on TPU v5e (BENCH_DETAIL.md). The round-3 XLA
+# pipeline (hardware-RNG sampling + MXU prefix-sum rollout) moved the
+# cheap-model crossovers far up: same-window interleaved probes measured
+# XLA winning every 2-3-control config at K*(T-1) <= 3.0e6 (e.g.
+# steering K=102400 T=30: 0.65 vs 1.21 ms) and the kernel winning at
+# 9.5e6 (K=327680 T=30: 1.14 vs 2.85) through 29.7e6 (K=1M: 3.7 vs 11.3);
+# the threshold sits at the measured 9.5e6 win so "auto" never picks a
+# slower path. full_body's per-propagation work (5 controls + ZMP chain)
+# keeps its kernel competitive from the reference's own operating point
+# (K=10240 T=15: 1.18 vs 1.20 ms, a tie) and clearly ahead at the
+# flagship (0.87-1.05 vs 1.45-1.49). The scalar props = K*(T-1) proxy
+# generalizes each measured (K, T) point to nearby shapes; extreme aspect
+# ratios are covered by the K=102400 T=100 row. On device kinds other
 # than v5e these literals are NOT trusted: kernels/autotune.py keys the
 # verdict by device_kind and micro-calibrates unknown hardware.
-KERNEL_MIN_PROPS = 3 * 10**5
+KERNEL_MIN_PROPS = 9_500_000
 KERNEL_MIN_PROPS_BY_MODEL = {"full_body": 140_000}
 
 # Model families the fused kernel implements; "auto" must fall back to the

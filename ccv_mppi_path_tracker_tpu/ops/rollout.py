@@ -39,10 +39,33 @@ def rollout(step_fn, state0: jax.Array, controls: jax.Array, dt,
     return jnp.concatenate([state0[None], traj], axis=0)
 
 
-# Models whose Euler chain has no state-dependent saturation, so the rollout
-# collapses to prefix sums (rate_limited_steering clips the steering STATE
-# each step — inherently sequential — and is excluded).
-CLOSED_FORM_MODELS = ("unicycle", "steering_unicycle", "full_body")
+# Models whose Euler chain collapses to prefix sums. rate_limited_steering
+# clips the steering STATE each step — that sub-chain stays a (cheap, (K,)-
+# wide) sequential scan — but its position/yaw integrals are still prefix
+# sums given the steering sequence, so it gets the hybrid closed form.
+CLOSED_FORM_MODELS = (
+    "unicycle", "steering_unicycle", "full_body", "rate_limited_steering"
+)
+
+
+def _steer_sequence(steer0, rates, dt):
+    """(T-1, ...) commanded rates -> (T-1, ...) steering angles used by the
+    position integral at steps 0..T-2 (the CURRENT angle integrates each
+    step, models/rate_limited_steering.py), plus the final angle."""
+    from ccv_mppi_path_tracker_tpu.models.rate_limited_steering import (
+        RATE_MAX,
+        STEER_MAX,
+    )
+
+    def body(s, rate):
+        nxt = jnp.clip(
+            s + jnp.clip(rate, -RATE_MAX, RATE_MAX) * dt,
+            -STEER_MAX, STEER_MAX,
+        )
+        return nxt, s  # emit the angle BEFORE this step's slew
+
+    last, used = jax.lax.scan(body, steer0, rates)
+    return used, last
 
 
 def rollout_closed_form(model_name: str, state0: jax.Array,
@@ -91,11 +114,22 @@ def rollout_closed_form(model_name: str, state0: jax.Array,
 
     yaw = state0[..., 2] + integrate(w)  # (T, ...)
     heading = yaw[:-1]
-    if model_name != "unicycle":
+    steer_col = None
+    if model_name == "rate_limited_steering":
+        # hybrid: the clipped steering chain is sequential but only (K,)-
+        # wide; positions are still prefix sums given the angle sequence
+        steer_used, steer_last = _steer_sequence(
+            state0[..., 3], controls[..., 2], dt
+        )
+        heading = heading + steer_used
+        steer_col = jnp.concatenate([steer_used, steer_last[None]], axis=0)
+    elif model_name != "unicycle":
         heading = heading + controls[..., 2]
     x = state0[..., 0] + integrate(v * jnp.cos(heading))
     y = state0[..., 1] + integrate(v * jnp.sin(heading))
     cols = [x, y, yaw]
+    if steer_col is not None:
+        cols.append(steer_col)
     if model_name == "full_body":
         cols.append(state0[..., 3] + integrate(controls[..., 3]))
         cols.append(state0[..., 4] + integrate(controls[..., 4]))

@@ -79,6 +79,12 @@ def main():
         "vpu_utilization_pct": round(100 * sustained / V5E_VPU_OPS, 1),
         "note": "transcendentals counted at 8 vector-op equivalents; "
                 "MXU MFU is structurally ~0 for this workload",
+        "caveat": "op-count model SUPERSEDED as bottleneck evidence by the "
+                  "direct ablation (scripts/kernel_ablation.py, "
+                  "artifacts/kernel_ablation.json): measured per-group "
+                  "costs show the t-loop's carried-dependency structure — "
+                  "not op count — sets the kernel floor (transcendentals "
+                  "cost ~8x less than this model assumes)",
     }
     print(json.dumps(out, indent=2))
 

@@ -385,11 +385,14 @@ def test_use_kernel_auto_policy():
     from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
     from ccv_mppi_path_tracker_tpu.solver import MPPISolver
 
-    # small workload -> XLA; big -> kernel (any K: the tail is masked)
-    assert not should_use_kernel(1000, 15, backend="tpu")   # below crossover
-    assert not should_use_kernel(10240, 15, backend="tpu")  # below crossover
-    assert should_use_kernel(102400, 30, backend="tpu")
-    assert should_use_kernel(100000, 30, backend="tpu")     # non-tile K ok
+    # small workload -> XLA; big -> kernel (any K: the tail is masked).
+    # The round-3 XLA pipeline moved the cheap-model crossover to the
+    # measured 9.5e6-propagation win point (BENCH_DETAIL.md).
+    assert not should_use_kernel(1000, 15, backend="tpu")    # below crossover
+    assert not should_use_kernel(10240, 15, backend="tpu")   # below crossover
+    assert not should_use_kernel(102400, 30, backend="tpu")  # XLA wins here
+    assert should_use_kernel(327680, 30, backend="tpu")      # measured win
+    assert should_use_kernel(1000000, 30, backend="tpu")     # non-tile K ok
     # per-model crossover: full_body's kernel wins already at the
     # reference's own operating point (K=10000 T=15 padded to 10240 lanes;
     # measured at K=10240 T=15, BENCH_DETAIL.md), the cheap 2-3 control
@@ -457,7 +460,7 @@ def test_autotune_device_kind_and_calibration(tmp_path):
     from ccv_mppi_path_tracker_tpu.kernels import autotune
 
     # known kind: straight to the measured table, no calibration
-    assert autotune.resolve_auto(102400, 30, None, kind="TPU v5 lite")
+    assert autotune.resolve_auto(1048576, 30, None, kind="TPU v5 lite")
     assert not autotune.resolve_auto(1000, 15, None, kind="TPU v5 lite")
 
     # unknown kind: measure() runs once, verdict cached
@@ -485,7 +488,7 @@ def test_autotune_device_kind_and_calibration(tmp_path):
         raise RuntimeError("no device")
 
     assert autotune.resolve_auto(
-        102400, 30, None, kind="TPU v9", measure=boom,
+        1048576, 30, None, kind="TPU v9", measure=boom,
         cache_file=str(tmp_path / "other.json"),
     )
     assert not autotune.resolve_auto(
