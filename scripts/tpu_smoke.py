@@ -217,6 +217,63 @@ def main():
         {"max_course_dist": float(d.max()), "finite": bool(np.isfinite(xy).all())},
     )
 
+    # --- 6. masked-tail (any-K) kernel on hardware --------------------------
+    # The reference's own full_body default K=10000 is not a tile multiple;
+    # the kernel pads to 10240 lanes and must exactly zero-weight the tail.
+    Km = 10000
+    cfgm, spm, cpm, coursem = full_body_launch(num_samples=Km, horizon=T,
+                                               dtype=np.float32)
+    pathm = PathBuffer.from_points(coursem, 0.1, dtype=np.float32)
+    ctrlm = ControllerState(
+        u_prev=jnp.asarray(
+            np.random.RandomState(1).randn(T - 1, 5) * 0.1, jnp.float32
+        ),
+        key=jax.random.PRNGKey(0),
+        step=jnp.zeros((), jnp.int32),
+    )
+    statem = jnp.zeros(5, jnp.float32).at[1].set(float(coursem[0, 1]))
+    noisem = jnp.asarray(
+        np.random.RandomState(7).randn(T - 1, Km, 5), jnp.float32
+    )
+    _, am = jax.jit(
+        lambda c, s, n: mppi_step(cfgm, c, s, pathm, dt, spm, cpm, noise=n)
+    )(ctrlm, statem, noisem)
+    _, bm = jax.jit(
+        lambda c, s, n: mppi_step(
+            cfgm, c, s, pathm, dt, spm, cpm, noise=n,
+            use_kernel=True, kernel_interpret=False,
+        )
+    )(ctrlm, statem, noisem)
+    errm = float(jnp.max(jnp.abs(am.u_opt - bm.u_opt)))
+    scalem = float(jnp.max(jnp.abs(am.u_opt))) + 1e-6
+    record(
+        "masked_tail_k10000", errm <= 5e-4 * scalem + 5e-5,
+        {"max_abs_err": errm, "scale": scalem},
+    )
+
+    # --- 7. elite_frac radix select on hardware (kernel two-pass) ----------
+    _, ae = jax.jit(
+        lambda c, s, n: mppi_step(
+            cfgm, c, s, pathm, dt, spm, cpm, noise=n, elite_frac=0.1
+        )
+    )(ctrlm, statem, noisem)
+    _, be = jax.jit(
+        lambda c, s, n: mppi_step(
+            cfgm, c, s, pathm, dt, spm, cpm, noise=n, elite_frac=0.1,
+            use_kernel=True, kernel_interpret=False,
+        )
+    )(ctrlm, statem, noisem)
+    erre = float(jnp.max(jnp.abs(ae.u_opt - be.u_opt)))
+    te = float(ae.stats["elite_thresh"])
+    tk = float(be.stats["elite_thresh"])
+    # thresholds come from slightly different f32 cost vectors (XLA vs
+    # kernel rounding), so compare allclose, not bitwise
+    t_ok = abs(te - tk) <= 1e-4 * abs(te) + 1e-5
+    record(
+        "elite_radix_select", erre <= 2e-3 and t_ok,
+        {"max_abs_err": erre, "thresh_xla": te, "thresh_kernel": tk},
+    )
+
     report["ok"] = not failures
     report["failures"] = failures
     out = json.dumps(report, indent=2)
