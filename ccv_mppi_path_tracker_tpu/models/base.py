@@ -24,6 +24,14 @@ class Model:
         per-step quantities from the whole trajectory (full-body ZMP chain,
         src/full_body_mppi.cpp:468-486). Signature
         (states (T, ..., S), controls (T-1, ..., U), dt, params) -> aux pytree.
+    cost_fn: optional per-trajectory cost override, signature
+        (states (T, K, S), controls (T-1, K, U), aux, ref: RefWindow,
+        cp: CostParams) -> (K,). When set, the solver's XLA pipeline (and
+        gradient refinement, which differentiates the same function) uses
+        it instead of the builtin tracking/full-body cost — the extension
+        point for user-registered models with custom objectives
+        (examples/custom_model.py). Must be jit-traceable; Gauss-Newton
+        refinement keeps the builtin least-squares residual structure.
     """
 
     name: str
@@ -32,6 +40,7 @@ class Model:
     step: Callable
     aux_from_rollout: Optional[Callable] = None
     default_params: object = None
+    cost_fn: Optional[Callable] = None
 
     @property
     def num_states(self) -> int:

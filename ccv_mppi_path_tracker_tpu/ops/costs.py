@@ -69,6 +69,14 @@ def full_body_cost(states, controls, zmp, ref: RefWindow, cp: CostParams):
 
 
 def trajectory_costs(model_name, states, controls, aux, ref, cp):
+    """Per-trajectory costs for ``model_name``: a registered custom
+    ``Model.cost_fn`` when the model provides one (user extension point),
+    else the builtin reference-semantics costs above."""
+    from ccv_mppi_path_tracker_tpu.models.registry import get_model
+
+    custom = get_model(model_name).cost_fn
+    if custom is not None:
+        return custom(states, controls, aux, ref, cp)
     if model_name == "full_body":
         return full_body_cost(states, controls, aux["zmp"], ref, cp)
     return tracking_cost(states, controls, ref, cp)

@@ -62,6 +62,31 @@ BICYCLE = register_model(Model(
 ))
 
 
+def bicycle_effort_cost(states, controls, aux, ref, cp):
+    """Custom objective: the builtin tracking cost plus a steering-effort
+    penalty — demonstrates the ``Model.cost_fn`` extension point (the
+    reference hardwires its costs inside each controller node,
+    src/diff_drive_mppi.cpp:194-210)."""
+    from ccv_mppi_path_tracker_tpu.ops.costs import tracking_cost
+
+    delta = controls[..., 1]
+    return tracking_cost(states, controls, ref, cp) + 2.0 * jnp.sum(
+        delta * delta, axis=0
+    )
+
+
+# Same dynamics, custom cost: registered as its own family; the solver (and
+# gradient refinement, which differentiates the same cost) picks it up with
+# zero core edits.
+BICYCLE_EFFORT = register_model(Model(
+    name="kinematic_bicycle_effort",
+    state_names=BICYCLE.state_names,
+    control_names=BICYCLE.control_names,
+    step=bicycle_step,
+    cost_fn=bicycle_effort_cost,
+))
+
+
 def make_problem(num_samples=2048, horizon=20):
     """Config + params + course for the bicycle tracker."""
     from ccv_mppi_path_tracker_tpu.paths import (
