@@ -51,10 +51,14 @@ def main():
                         "sustained load)")
     p.add_argument("--no-kernel", action="store_true",
                    help="use the XLA pipeline instead of the Pallas kernel")
-    p.add_argument("--lean", action="store_true",
-                   help="serving mode: StepResult carries only u_opt/u0 "
-                        "(drops ~10-20 us/buffer of per-step output "
-                        "allocation; solver math identical)")
+    p.add_argument("--lean", dest="lean", action="store_true", default=True,
+                   help="serving mode (DEFAULT, as in runtime/realtime.py): "
+                        "StepResult carries only u_opt/u0 — identical "
+                        "solver math, no diagnostic output buffers")
+    p.add_argument("--full", dest="lean", action="store_false",
+                   help="carry the full diagnostic StepResult (ref window, "
+                        "planned path, cost stats; ~0.1-0.15 ms/step of "
+                        "extra output allocation through this relay)")
     args = p.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
