@@ -94,7 +94,7 @@ def softmax_weights(
     elite_frac: optional CEM<->MPPI interpolation — zero the weight of every
         sample whose cost is above the global ``elite_frac`` rank threshold
         (:func:`elite_threshold`) before normalizing; elite_frac=1.0 is
-        exactly vanilla MPPI. Works sharded: the threshold bisection spans
+        exactly vanilla MPPI. Works sharded: the threshold radix select spans
         all shards and matches single-device bit-exactly. The threshold is
         reported in stats["elite_thresh"].
     """

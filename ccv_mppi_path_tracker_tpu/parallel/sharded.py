@@ -35,7 +35,8 @@ def build_sharded_step(
     noise=None)``. ``noise``, when given for parity tests, must be the full
     (T-1, K, U) tensor; it is split over the sample axis. All other inputs and
     all outputs are replicated. ``use_kernel`` runs the per-shard pipeline as
-    the fused Pallas kernel (K/N must then be a multiple of the kernel tile).
+    the fused Pallas kernel (any per-shard K/N: the kernel masks the padded
+    tail of its last tile).
     ``solver_options`` forwards extra mppi_step keywords (shift_warm_start,
     delay, adapt_sigma, elite_frac, ...); elite_frac selects elites by
     GLOBAL cost rank across all shards (ops/softmax_update.py
