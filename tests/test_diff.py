@@ -201,3 +201,58 @@ def test_gauss_newton_reduces_tracking_cost():
         cost_fn(u0, state, ref, 0.1, cp)
     )
     assert float(jnp.max(u1[:, 0])) <= float(sp.u_max[0]) + 1e-12
+
+
+def test_overlapped_grad_chunking_is_exact_and_sharded():
+    """rollout_prediction_value_and_grad: bucketed per-chunk psums
+    (num_chunks=4/8) must equal the sequential gradient, unsharded and
+    under an 8-device shard_map — the fast CI counterpart of the real
+    2-process case in tests/test_multiprocess.py."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import PartitionSpec as P
+
+    from ccv_mppi_path_tracker_tpu.diff.system_id import (
+        ControlGains,
+        rollout_prediction_value_and_grad,
+    )
+    from ccv_mppi_path_tracker_tpu.parallel import SAMPLES_AXIS, samples_mesh
+
+    B, T = 128, 16
+    rng = np.random.RandomState(3)
+    state0 = jnp.zeros((B, 3))
+    controls = jnp.asarray(rng.randn(T, B, 2) * 0.5)
+    observed = jnp.asarray(rng.randn(T, B, 3) * 0.1)
+    params = ControlGains(gains=jnp.asarray([1.1, 0.9]))
+    dt = 0.1
+
+    l1, g1 = rollout_prediction_value_and_grad(
+        "unicycle", params, state0, controls, observed, dt
+    )
+    for nc in (4, 8):
+        lc, gc = rollout_prediction_value_and_grad(
+            "unicycle", params, state0, controls, observed, dt, num_chunks=nc
+        )
+        np.testing.assert_allclose(float(lc), float(l1), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(gc.gains), np.asarray(g1.gains), rtol=1e-12
+        )
+
+    mesh = samples_mesh(num_devices=8)
+    for nc in (1, 4):
+        fn = jax.jit(jax.shard_map(
+            lambda p, s0, c, o: rollout_prediction_value_and_grad(
+                "unicycle", p, s0, c, o, dt,
+                axis_name=SAMPLES_AXIS, num_chunks=nc,
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(SAMPLES_AXIS, None), P(None, SAMPLES_AXIS, None),
+                      P(None, SAMPLES_AXIS, None)),
+            out_specs=(P(), P()),
+        ))
+        l8, g8 = fn(params, state0, controls, observed)
+        np.testing.assert_allclose(float(l8), float(l1), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(g8.gains), np.asarray(g1.gains), rtol=1e-12
+        )
