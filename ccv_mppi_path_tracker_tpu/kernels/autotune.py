@@ -20,12 +20,55 @@ relay (see bench.py docstring).
 
 from __future__ import annotations
 
+import hashlib
 import json
+import logging
 import os
 import time
 from typing import Callable, Optional
 
 import jax
+
+logger = logging.getLogger(__name__)
+
+# Opt-out for latency-sensitive construction on unknown TPU kinds: the
+# micro-calibration synchronously compiles+times two solver configurations
+# (remote compiles here can stall for minutes). With this env var set the
+# verdict falls straight back to the v5e table.
+_SKIP_ENV = "CCV_MPPI_NO_AUTOCAL"
+
+_code_fingerprint_cache = None
+
+
+def code_fingerprint() -> str:
+    """Short hash over the crossover-relevant sources (kernel + solver +
+    ops) plus the package version. Part of the calibration cache key so a
+    verdict measured against an older kernel/XLA pipeline is invalidated by
+    the next code change instead of pinning "auto" to a stale path
+    (ADVICE r3)."""
+    global _code_fingerprint_cache
+    if _code_fingerprint_cache is not None:
+        return _code_fingerprint_cache
+    import ccv_mppi_path_tracker_tpu as pkg
+
+    root = os.path.dirname(os.path.abspath(pkg.__file__))
+    h = hashlib.sha256(getattr(pkg, "__version__", "?").encode())
+    for rel in (
+        "kernels/rollout_cost.py",
+        "solver/mppi.py",
+        "ops/rollout.py",
+        "ops/sampling.py",
+        "ops/costs.py",
+        "ops/mindist.py",
+        "ops/softmax_update.py",
+    ):
+        try:
+            with open(os.path.join(root, rel), "rb") as f:
+                h.update(f.read())
+        except OSError:
+            h.update(rel.encode())
+    _code_fingerprint_cache = h.hexdigest()[:12]
+    return _code_fingerprint_cache
 
 def _v5e_table() -> dict:
     # single source of truth for the v5e literals lives in rollout_cost.py
@@ -94,16 +137,32 @@ def calibrated_verdict(kind: str, model: Optional[str], num_samples: int,
     """Disk-cached kernel-vs-XLA micro-benchmark at this exact config."""
     if cache_file is None:
         cache_file = _default_cache_file()
-    key = f"{kind}|{model}|{num_samples}|{horizon}"
+    # the code fingerprint invalidates verdicts measured on older code
+    key = f"{kind}|{model}|{num_samples}|{horizon}|{code_fingerprint()}"
     cache = _load(cache_file)
     if key in cache:
         return bool(cache[key])
+    if os.environ.get(_SKIP_ENV):
+        logger.info(
+            "%s set: skipping kernel auto-calibration for %s, using the "
+            "v5e crossover table", _SKIP_ENV, key,
+        )
+        return bool(
+            table_verdict(_FALLBACK_KIND, model, num_samples, horizon)
+        )
     if measure is None:
         measure = measure_crossover
     try:
         verdict = bool(measure(model, num_samples, horizon))
-    except Exception:
-        # never let auto-selection break a solve on exotic hardware
+    except Exception as e:
+        # never let auto-selection break a solve on exotic hardware — but
+        # say why the calibration was abandoned (ADVICE r3)
+        logger.warning(
+            "kernel auto-calibration failed for %s (%s: %s); falling back "
+            "to the v5e crossover table. Set %s=1 to skip calibration, or "
+            "pass use_kernel explicitly.",
+            key, type(e).__name__, e, _SKIP_ENV,
+        )
         return bool(
             table_verdict(_FALLBACK_KIND, model, num_samples, horizon)
         )

@@ -41,6 +41,12 @@ class Model:
     aux_from_rollout: Optional[Callable] = None
     default_params: object = None
     cost_fn: Optional[Callable] = None
+    # static numeric constants baked into step (e.g. rate_limited_steering's
+    # steer/rate limits). Consumers that re-derive the dynamics outside
+    # ``step`` (ops/rollout.py closed form, the fused kernel) read the limits
+    # from HERE, so a re-registered custom-limit variant can never silently
+    # diverge from its own step function (ADVICE r3).
+    constants: Optional[dict] = None
 
     @property
     def num_states(self) -> int:

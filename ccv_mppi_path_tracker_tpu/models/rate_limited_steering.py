@@ -68,6 +68,9 @@ def make_model(name="rate_limited_steering", steer_max=STEER_MAX,
         state_names=("x", "y", "yaw", "steer"),
         control_names=("v", "w", "steer_rate"),
         step=make_step(steer_max, rate_max),
+        # single source of truth for consumers that re-derive the dynamics
+        # (closed-form rollout, fused kernel) — see Model.constants
+        constants={"steer_max": steer_max, "rate_max": rate_max},
     )
 
 

@@ -48,19 +48,32 @@ CLOSED_FORM_MODELS = (
 )
 
 
-def _steer_sequence(steer0, rates, dt):
-    """(T-1, ...) commanded rates -> (T-1, ...) steering angles used by the
-    position integral at steps 0..T-2 (the CURRENT angle integrates each
-    step, models/rate_limited_steering.py), plus the final angle."""
+def steer_limits(model_name: str):
+    """(steer_max, rate_max) for a rate-limited steering variant, resolved
+    from the REGISTERED model's constants — not the module defaults — so a
+    custom-limit variant re-registered under the same name keeps the
+    closed-form rollout and fused kernel in agreement with its own step
+    function (ADVICE r3)."""
     from ccv_mppi_path_tracker_tpu.models.rate_limited_steering import (
         RATE_MAX,
         STEER_MAX,
     )
+    from ccv_mppi_path_tracker_tpu.models.registry import get_model
+
+    consts = get_model(model_name).constants or {}
+    return consts.get("steer_max", STEER_MAX), consts.get("rate_max", RATE_MAX)
+
+
+def _steer_sequence(model_name, steer0, rates, dt):
+    """(T-1, ...) commanded rates -> (T-1, ...) steering angles used by the
+    position integral at steps 0..T-2 (the CURRENT angle integrates each
+    step, models/rate_limited_steering.py), plus the final angle."""
+    steer_max, rate_max = steer_limits(model_name)
 
     def body(s, rate):
         nxt = jnp.clip(
-            s + jnp.clip(rate, -RATE_MAX, RATE_MAX) * dt,
-            -STEER_MAX, STEER_MAX,
+            s + jnp.clip(rate, -rate_max, rate_max) * dt,
+            -steer_max, steer_max,
         )
         return nxt, s  # emit the angle BEFORE this step's slew
 
@@ -119,7 +132,7 @@ def rollout_closed_form(model_name: str, state0: jax.Array,
         # hybrid: the clipped steering chain is sequential but only (K,)-
         # wide; positions are still prefix sums given the angle sequence
         steer_used, steer_last = _steer_sequence(
-            state0[..., 3], controls[..., 2], dt
+            model_name, state0[..., 3], controls[..., 2], dt
         )
         heading = heading + steer_used
         steer_col = jnp.concatenate([steer_used, steer_last[None]], axis=0)

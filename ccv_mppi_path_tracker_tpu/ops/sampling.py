@@ -76,12 +76,20 @@ def sample_controls(
         # resume/replay stay exact; the stream differs from threefry's but
         # any fixed stream is equally valid for exploration noise (parity
         # tests inject `noise` explicitly and never hit this path).
-        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
-            kd = jax.random.key_data(key)  # typed key -> (2,) uint32
-        else:
-            kd = key  # legacy raw (2,) uint32 key
+        if not jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            key = jax.random.wrap_key_data(key)  # legacy raw (2,) uint32
+        # Derive the 4-word rbg key from TWO independent threefry children
+        # (one split block) instead of duplicating the 2-word parent —
+        # duplicated halves correlate the rbg key words (ADVICE r3). Note
+        # (MIGRATION.md): jax documents rbg output as unstable across
+        # XLA versions/backends, so seeded streams are reproducible within
+        # an environment, not across releases.
+        k1, k2 = jax.random.split(key)
         rbg = jax.random.wrap_key_data(
-            jnp.concatenate([kd, kd]).astype(jnp.uint32), impl="rbg"
+            jnp.concatenate(
+                [jax.random.key_data(k1), jax.random.key_data(k2)]
+            ).astype(jnp.uint32),
+            impl="rbg",
         )
         noise = jax.random.normal(
             rbg, (tm1, num_samples, u_dim), dtype=u_prev.dtype

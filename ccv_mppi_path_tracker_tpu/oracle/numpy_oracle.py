@@ -50,24 +50,16 @@ def _calc_ref(path_xy, pos, v_ref, dt, resolution, horizon):
     return xy, yaw
 
 
-def _centered_ref(ref_xy):
-    """Expanded-form distance constants (ops/mindist.py module docstring):
-    center c = ref[0], 2*(ref - c), |ref - c|^2. All four parity arms (XLA
-    op, fused kernel, this oracle, the C++ oracle) share this formulation."""
-    c = ref_xy[0]
-    rc = ref_xy - c
-    rn = rc[:, 0] * rc[:, 0] + rc[:, 1] * rc[:, 1]
-    return c, 2.0 * rc, rn
-
-
-def _min_sq_distance(x, y, c, rc2, rn):
-    """clamp(min_j |p - ref_j|^2) via the centered expanded form, matching
-    the solver's ops/mindist.py (reference calc_MinDistance semantics,
-    src/diff_drive_mppi.cpp:183-192, squared; cap at 100 m)."""
-    xc, yc = x - c[0], y - c[1]
-    pn = xc * xc + yc * yc
-    m = float(np.min(rn - xc * rc2[:, 0] - yc * rc2[:, 1]))
-    return min(DIST_CAP * DIST_CAP, max(0.0, pn + m))
+def _min_sq_distance(x, y, ref_xy):
+    """clamp(min_j |p - ref_j|^2) via the reference's LITERAL difference
+    form (calc_MinDistance, src/diff_drive_mppi.cpp:183-192, squared; cap at
+    100 m). Deliberately NOT the solver/kernel/C++-oracle centered
+    expanded form (ops/mindist.py): this oracle stays algebraically
+    independent of the optimized formulation so a shared error in that
+    algebra cannot pass the parity suite (ADVICE r3)."""
+    dx = x - ref_xy[:, 0]
+    dy = y - ref_xy[:, 1]
+    return min(DIST_CAP * DIST_CAP, float(np.min(dx * dx + dy * dy)))
 
 
 # rate-limited steering slew limits — single source of truth is the model
@@ -187,7 +179,6 @@ def oracle_step(
     ref_xy, ref_yaw = _calc_ref(path_xy, state[:2], v_ref, dt, resolution, horizon)
 
     # 2-3. Rollout + cost per sample
-    ref_c, ref_rc2, ref_rn = _centered_ref(ref_xy)
     states = np.zeros((num_samples, horizon, state.shape[0]))
     zmps = None
     if model == "full_body":
@@ -203,7 +194,7 @@ def oracle_step(
             cost += yaw_weight * (s[0, 2] - ref_yaw[0]) ** 2
             for t in range(horizon - 2):
                 cost += path_weight * _min_sq_distance(
-                    s[t, 0], s[t, 1], ref_c, ref_rc2, ref_rn
+                    s[t, 0], s[t, 1], ref_xy
                 )
                 cost += v_weight * (u[t, i, 0] - v_ref) ** 2
                 cost += zmp_weight * zmp[t, 1] ** 2
@@ -213,7 +204,7 @@ def oracle_step(
         else:
             for t in range(horizon):
                 cost += path_weight * _min_sq_distance(
-                    s[t, 0], s[t, 1], ref_c, ref_rc2, ref_rn
+                    s[t, 0], s[t, 1], ref_xy
                 )
                 if t < horizon - 1:
                     cost += v_weight * (u[t, i, 0] - v_ref) ** 2
