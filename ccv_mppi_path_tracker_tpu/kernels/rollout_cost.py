@@ -84,11 +84,22 @@ KERNEL_MODELS = (
 # indices. Both are kept for A/B experiments, not for serving.
 _DIST_FORM = "expanded"  # "expanded" | "difference"
 _MINDIST_UNROLL = "chunk"  # "chunk" | "full"
-# Time-loop structure: "fori" (dynamic u_out indexing, small program) vs
-# "unroll" (constant indices; measures whether dynamic VMEM indexing is
-# what keeps the t-loop at ~3.6 ms of the 4.8 ms K=1M step —
-# artifacts/kernel_ablation.json).
-_TLOOP = "fori"  # "fori" | "unroll"
+# Time-loop structure (A/B arms; production default is the measured winner):
+# - "fori": dynamic u_out indexing, small program (r3 default)
+# - "unroll": constant indices, fully unrolled (r3 arm; compile-heavy)
+# - "block4": 4 t-steps per fori iteration — amortizes loop control +
+#   dynamic-index overhead 4x, constant-index epilogue for the remainder
+# - "regen" (full_body RNG mode only): dependency-breaking — controls are
+#   NEVER written to the u_out VMEM scratch; the rollout draws them on the
+#   fly each step and the update loop re-seeds the per-tile PRNG and
+#   regenerates the identical stream (the same trick the elite second pass
+#   uses across kernel invocations). Removes the VMEM round-trip from the
+#   t-loop body. White noise only (beta ignored).
+# - "half2" (full_body only): two independent half-tiles (rows/2) advanced
+#   through one t-loop — interleaves two dependency chains so one hides the
+#   other's latency.
+# Measured same-window at K=1M T=30: artifacts/ab_tloop2.json.
+_TLOOP = "fori"  # "fori" | "unroll" | "block4" | "regen" | "half2"
 
 
 def should_use_kernel(num_samples: int, horizon: int,
@@ -214,18 +225,41 @@ def _make_normal_stream(shape):
 def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                  with_noise_input: bool, steer_off: bool, rows: int,
                  batched: bool = False, second_moment: bool = False,
-                 accumulate: bool = True, masked: bool = False):
+                 accumulate: bool = True, masked: bool = False,
+                 costs_in: bool = False):
     tm1 = horizon - 1
     cap2 = DIST_CAP * DIST_CAP
     _ROWS = rows
+    assert not costs_in or accumulate, "costs_in pass exists to accumulate"
+    regen = _TLOOP == "regen"
+    half2 = _TLOOP == "half2"
+    if regen:
+        assert (model == "full_body" and not with_noise_input
+                and accumulate and not costs_in), (
+            "_TLOOP='regen' is the full_body RNG-mode A/B arm (white noise)"
+        )
+    if half2:
+        assert model == "full_body", "_TLOOP='half2' is a full_body A/B arm"
 
     def kernel(*refs):
+        refs = list(refs)
+        uprev, sigma, umin, umax, ref_xy, state0, scal, seed = refs[:8]
+        pos = 8
+        noise = None
         if with_noise_input:
-            (uprev, sigma, umin, umax, ref_xy, state0, scal, seed, noise,
-             cost_out, acc_out, u_out, m_ref) = refs
+            noise = refs[pos]
+            pos += 1
+        cin = cost_out = None
+        if costs_in:
+            # costs-free elite second pass: per-sample costs stream IN from
+            # pass 1; controls are regenerated (same seed -> identical
+            # samples) and only the masked online update runs — no rollout,
+            # no distance scan, no ZMP chain, no cost output.
+            cin = refs[pos]
+            pos += 1
+            acc_out, u_out, m_ref = refs[pos:pos + 3]
         else:
-            (uprev, sigma, umin, umax, ref_xy, state0, scal, seed,
-             cost_out, acc_out, u_out, m_ref) = refs
+            cost_out, acc_out, u_out, m_ref = refs[pos:pos + 4]
 
         # Fleet (batched) mode: grid is (B, k_tiles); per-robot inputs are
         # SMEM *blocks* selected by the robot grid index (full (B, ...)
@@ -239,7 +273,8 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             sc = lambda i: scal[0, 0, i]
             seed0 = seed[0, 0, 0]
             nz = (lambda t, j: noise[0, t, j]) if with_noise_input else None
-            co = cost_out.at[0]
+            co = cost_out.at[0] if cost_out is not None else None
+            ci = (lambda: cin[0]) if costs_in else None
             accv = acc_out.at[0]
         else:
             kidx = pl.program_id(0)
@@ -250,6 +285,7 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             seed0 = seed[0]
             nz = (lambda t, j: noise[t, j]) if with_noise_input else None
             co = cost_out
+            ci = (lambda: cin[...]) if costs_in else None
             accv = acc_out
 
         if not with_noise_input:
@@ -282,7 +318,28 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         eps_prev = [None] * u_dim
         if not with_noise_input:
             draw_normal = _make_normal_stream((_ROWS, _LANES))
-        for t in range(tm1):
+
+        def draw_u_row(t):
+            # regen arm: one t-row of controls drawn on demand. Fixed
+            # ceil(U/2) Box-Muller pairs per row (no held-over half) so the
+            # rollout loop and the re-seeded update loop consume IDENTICAL
+            # streams. White noise only (the arm ignores noise_beta).
+            etas = []
+            while len(etas) < u_dim:
+                n1, n2 = _normals_pair((_ROWS, _LANES))
+                etas.extend((n1, n2))
+            vals = []
+            for j in range(u_dim):
+                val = up(t, j) + sigma[j] * etas[j]
+                val = jnp.clip(val, umin[j], umax[j])
+                if steer_off and j == 2:
+                    val = jnp.zeros_like(val)
+                vals.append(val)
+            return vals
+
+        # regen never touches the u_out scratch: the rollout draws controls
+        # on the fly and the update loop regenerates the same stream
+        for t in range(0 if regen else tm1):
             for j in range(u_dim):
                 if with_noise_input:
                     eta = nz(t, j)
@@ -297,175 +354,257 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 u_out[t, j] = val
 
         # --- rollout + cost ----------------------------------------------
-        x = jnp.full((_ROWS, _LANES), st(0))
-        y = jnp.full((_ROWS, _LANES), st(1))
-        yaw = jnp.full((_ROWS, _LANES), st(2))
-        cost = jnp.zeros((_ROWS, _LANES), jnp.float32)
+        if costs_in:
+            # elite pass 2: costs stream in from pass 1 (identical to
+            # what a recompute would produce bit-for-bit — same ops, same
+            # inputs) so the whole rollout/distance-scan/ZMP block and
+            # the cost write are skipped.
+            cost = ci()
+        else:
+            x = jnp.full((_ROWS, _LANES), st(0))
+            y = jnp.full((_ROWS, _LANES), st(1))
+            yaw = jnp.full((_ROWS, _LANES), st(2))
+            cost = jnp.zeros((_ROWS, _LANES), jnp.float32)
 
-        dist_form = _DIST_FORM
-        mindist_unroll = _MINDIST_UNROLL
+            dist_form = _DIST_FORM
+            mindist_unroll = _MINDIST_UNROLL
 
-        def path_d2(xv, yv):
-            # Centered expanded form (ops/mindist.py module docstring): the
-            # wrapper passes [2*(ref-c), |ref-c|^2] per reference point and a
-            # rollout start centered at c = ref[0], so the inner loop is two
-            # FMAs + one min per point — 3 vector ops vs 5 for the
-            # difference form, on the kernel's largest op group. Chunked
-            # loop (vs the old unroll=num_ref) keeps the Mosaic program
-            # small at large T*T_ref — full unrolling inside the t-loop was
-            # the dominant cold-compile cost (141 s at the flagship config).
-            if dist_form == "expanded":
-                pn = xv * xv + yv * yv
+            def path_d2(xv, yv):
+                # Centered expanded form (ops/mindist.py module docstring): the
+                # wrapper passes [2*(ref-c), |ref-c|^2] per reference point and a
+                # rollout start centered at c = ref[0], so the inner loop is two
+                # FMAs + one min per point — 3 vector ops vs 5 for the
+                # difference form, on the kernel's largest op group. Chunked
+                # loop (vs the old unroll=num_ref) keeps the Mosaic program
+                # small at large T*T_ref — full unrolling inside the t-loop was
+                # the dominant cold-compile cost (141 s at the flagship config).
+                if dist_form == "expanded":
+                    pn = xv * xv + yv * yv
 
-                def term(j):
-                    return refp(j, 2) - xv * refp(j, 0) - yv * refp(j, 1)
-            else:  # "difference" (A/B experiment arm)
-                def term(j):
-                    dx = xv - refp(j, 0)
-                    dy = yv - refp(j, 1)
-                    return dx * dx + dy * dy
+                    def term(j):
+                        return refp(j, 2) - xv * refp(j, 0) - yv * refp(j, 1)
+                else:  # "difference" (A/B experiment arm)
+                    def term(j):
+                        dx = xv - refp(j, 0)
+                        dy = yv - refp(j, 1)
+                        return dx * dx + dy * dy
 
-            m = jnp.full((_ROWS, _LANES), jnp.inf)
-            if mindist_unroll == "full":
-                for j in range(num_ref):  # constant indices, full unroll
-                    m = jnp.minimum(m, term(j))
-            else:
-                # hand-rolled chunk: Mosaic's scan lowering only accepts
-                # unroll=1 or full, so the body statically covers `ch`
-                # points and the remainder runs as a static epilogue.
-                ch = 8
-                nch = num_ref // ch
+                m = jnp.full(xv.shape, jnp.inf)  # (rows or rows/2, LANES)
+                if mindist_unroll == "full":
+                    for j in range(num_ref):  # constant indices, full unroll
+                        m = jnp.minimum(m, term(j))
+                else:
+                    # hand-rolled chunk: Mosaic's scan lowering only accepts
+                    # unroll=1 or full, so the body statically covers `ch`
+                    # points and the remainder runs as a static epilogue.
+                    ch = 8
+                    nch = num_ref // ch
 
-                def body(i, m):
-                    base = i * ch
-                    for p in range(ch):
-                        m = jnp.minimum(m, term(base + p))
-                    return m
+                    def body(i, m):
+                        base = i * ch
+                        for p in range(ch):
+                            m = jnp.minimum(m, term(base + p))
+                        return m
 
-                if nch:
-                    m = jax.lax.fori_loop(0, nch, body, m, unroll=1)
-                for j in range(nch * ch, num_ref):
-                    m = jnp.minimum(m, term(j))
-            if dist_form == "expanded":
-                m = pn + m
-            return jnp.minimum(jnp.maximum(m, 0.0), cap2)
+                    if nch:
+                        m = jax.lax.fori_loop(0, nch, body, m, unroll=1)
+                    for j in range(nch * ch, num_ref):
+                        m = jnp.minimum(m, term(j))
+                if dist_form == "expanded":
+                    m = pn + m
+                return jnp.minimum(jnp.maximum(m, 0.0), cap2)
 
-        def t_loop(bound, body, carry):
-            # The time loop is a fori_loop with dynamic indexing into the
-            # u_out VMEM block by default — unrolling T=30..100 steps made
-            # Mosaic compiles pathologically slow before the distance scan
-            # was chunked; _TLOOP="unroll" is the constant-index A/B arm.
-            if _TLOOP == "unroll":
-                for t in range(bound):
-                    carry = body(t, carry)
-                return carry
-            return jax.lax.fori_loop(0, bound, body, carry)
+            def t_loop(bound, body, carry):
+                # The time loop is a fori_loop with dynamic indexing into the
+                # u_out VMEM block by default — unrolling T=30..100 steps made
+                # Mosaic compiles pathologically slow before the distance scan
+                # was chunked; _TLOOP="unroll" is the constant-index A/B arm,
+                # "block4" the 4-steps-per-iteration arm (loop control +
+                # dynamic-index overhead amortized 4x, remainder as a
+                # constant-index epilogue).
+                if _TLOOP == "unroll":
+                    for t in range(bound):
+                        carry = body(t, carry)
+                    return carry
+                if _TLOOP == "block4":
+                    nblk = bound // 4
 
-        # The time loop is a fori_loop with dynamic indexing into the u_out
-        # VMEM block — unrolling T=30..100 steps made Mosaic compiles
-        # pathologically slow.
-        if model == "rate_limited_steering":
-            from ccv_mppi_path_tracker_tpu.models.rate_limited_steering import (
-                RATE_MAX,
-                STEER_MAX,
-            )
+                    def blk(b, carry):
+                        t0 = b * 4
+                        for i in range(4):
+                            carry = body(t0 + i, carry)
+                        return carry
 
-            steer = jnp.full((_ROWS, _LANES), st(3))
+                    if nblk:
+                        carry = jax.lax.fori_loop(0, nblk, blk, carry)
+                    for t in range(nblk * 4, bound):
+                        carry = body(t, carry)
+                    return carry
+                return jax.lax.fori_loop(0, bound, body, carry)
 
-            def rl_body(t, carry):
-                x, y, yaw, steer, cost = carry
-                cost += sc(2) * path_d2(x, y)
-                v, w = u_out[t, 0], u_out[t, 1]
-                rate = jnp.clip(u_out[t, 2], -RATE_MAX, RATE_MAX)
-                dv = v - v_ref
-                cost += sc(3) * dv * dv
-                heading = yaw + steer
-                x = x + v * jnp.cos(heading) * dt
-                y = y + v * jnp.sin(heading) * dt
-                yaw = yaw + w * dt
-                steer = jnp.clip(steer + rate * dt, -STEER_MAX, STEER_MAX)
-                return x, y, yaw, steer, cost
+            # The time loop is a fori_loop with dynamic indexing into the u_out
+            # VMEM block — unrolling T=30..100 steps made Mosaic compiles
+            # pathologically slow.
+            if model == "rate_limited_steering":
+                # limits resolved from the REGISTERED model's constants so a
+                # custom-limit variant stays consistent (ops/rollout.py
+                # steer_limits; ADVICE r3)
+                from ccv_mppi_path_tracker_tpu.ops.rollout import steer_limits
 
-            x, y, yaw, steer, cost = t_loop(
-                tm1, rl_body, (x, y, yaw, steer, cost)
-            )
-            cost += sc(2) * path_d2(x, y)  # final state's path term
-        elif model in ("unicycle", "steering_unicycle"):
-            # path term over all T states, velocity term over T-1 controls
-            # (ops/costs.py tracking_cost)
-            def step_body(t, carry):
-                x, y, yaw, cost = carry
-                cost += sc(2) * path_d2(x, y)
-                v, w = u_out[t, 0], u_out[t, 1]
-                dv = v - v_ref
-                cost += sc(3) * dv * dv
-                heading = yaw if model == "unicycle" else yaw + u_out[t, 2]
-                x = x + v * jnp.cos(heading) * dt
-                y = y + v * jnp.sin(heading) * dt
-                yaw = yaw + w * dt
-                return x, y, yaw, cost
+                STEER_MAX, RATE_MAX = steer_limits(model)
 
-            x, y, yaw, cost = t_loop(
-                tm1, step_body, (x, y, yaw, cost)
-            )
-            cost += sc(2) * path_d2(x, y)  # final state's path term
-        else:  # full_body (ops/costs.py full_body_cost)
-            roll = jnp.full((_ROWS, _LANES), st(3))
-            pitch = jnp.full((_ROWS, _LANES), st(4))
-            mass, c = sc(9), sc(10)
-            ixx = sc(11)
-            gz = sc(14)
-            dyaw0 = yaw - sc(8)
-            cost += sc(7) * dyaw0 * dyaw0
+                steer = jnp.full((_ROWS, _LANES), st(3))
 
-            # scalar reciprocals hoisted out of the loop: /dt (twice) and
-            # /bz were VECTOR divisions per propagation — multi-pass VPU
-            # ops — replaced by one scalar divide each + vector multiplies.
-            # FP effect is <=2 ulp on da/hgx/zmp_y, far inside the kernel
-            # parity tolerances (tests/test_kernel.py rtol 2e-5).
-            rdt = 1.0 / dt
-            bz = mass * gz
-            rbz = 1.0 / bz
+                def rl_body(t, carry):
+                    x, y, yaw, steer, cost = carry
+                    cost += sc(2) * path_d2(x, y)
+                    v, w = u_out[t, 0], u_out[t, 1]
+                    rate = jnp.clip(u_out[t, 2], -RATE_MAX, RATE_MAX)
+                    dv = v - v_ref
+                    cost += sc(3) * dv * dv
+                    heading = yaw + steer
+                    x = x + v * jnp.cos(heading) * dt
+                    y = y + v * jnp.sin(heading) * dt
+                    yaw = yaw + w * dt
+                    steer = jnp.clip(steer + rate * dt, -STEER_MAX, STEER_MAX)
+                    return x, y, yaw, steer, cost
 
-            def fb_body(t, carry):
-                x, y, yaw, roll, pitch, cost = carry
-                cost += sc(2) * path_d2(x, y)
-                v, w, direc = u_out[t, 0], u_out[t, 1], u_out[t, 2]
-                roll_v, pitch_v = u_out[t, 3], u_out[t, 4]
-                dv = v - v_ref
-                cost += sc(3) * dv * dv
-                droll_v = u_out[t + 1, 3] - roll_v
-                cost += sc(5) * droll_v * droll_v
-                cost += sc(6) * jnp.where(v < 0.0, v * v, 0.0)
-                # ZMP chain (models/full_body.py zmp_chain)
-                da = (u_out[t + 1, 0] - v) * rdt
-                ac = v * w
-                cd, sd = jnp.cos(direc), jnp.sin(direc)
-                ay = da * sd + ac * cd
-                hgx = ixx * droll_v * rdt
-                # zmp_y needs only M_O_x = com_y*b_z - com_z*b_y - hg_x
-                com_y = -c * jnp.sin(roll)
-                com_z = c * jnp.cos(pitch) * jnp.cos(roll)
-                by = -mass * ay
-                mo_x = com_y * bz - com_z * by - hgx
-                zmp_y = mo_x * rbz
-                cost += sc(4) * zmp_y * zmp_y
-                # Euler step (runs for every t in [0, T-3]; states at T-2 and
-                # T-1 are never read by the cost)
-                heading = yaw + direc
-                x = x + v * jnp.cos(heading) * dt
-                y = y + v * jnp.sin(heading) * dt
-                yaw = yaw + w * dt
-                roll = roll + roll_v * dt
-                pitch = pitch + pitch_v * dt
-                return x, y, yaw, roll, pitch, cost
+                x, y, yaw, steer, cost = t_loop(
+                    tm1, rl_body, (x, y, yaw, steer, cost)
+                )
+                cost += sc(2) * path_d2(x, y)  # final state's path term
+            elif model in ("unicycle", "steering_unicycle"):
+                # path term over all T states, velocity term over T-1 controls
+                # (ops/costs.py tracking_cost)
+                def step_body(t, carry):
+                    x, y, yaw, cost = carry
+                    cost += sc(2) * path_d2(x, y)
+                    v, w = u_out[t, 0], u_out[t, 1]
+                    dv = v - v_ref
+                    cost += sc(3) * dv * dv
+                    heading = yaw if model == "unicycle" else yaw + u_out[t, 2]
+                    x = x + v * jnp.cos(heading) * dt
+                    y = y + v * jnp.sin(heading) * dt
+                    yaw = yaw + w * dt
+                    return x, y, yaw, cost
 
-            out = t_loop(
-                horizon - 2, fb_body, (x, y, yaw, roll, pitch, cost)
-            )
-            cost = out[5]
+                x, y, yaw, cost = t_loop(
+                    tm1, step_body, (x, y, yaw, cost)
+                )
+                cost += sc(2) * path_d2(x, y)  # final state's path term
+            else:  # full_body (ops/costs.py full_body_cost)
+                roll = jnp.full((_ROWS, _LANES), st(3))
+                pitch = jnp.full((_ROWS, _LANES), st(4))
+                mass, c = sc(9), sc(10)
+                ixx = sc(11)
+                gz = sc(14)
+                dyaw0 = yaw - sc(8)
+                cost += sc(7) * dyaw0 * dyaw0
 
-        co[...] = cost
+                # scalar reciprocals hoisted out of the loop: /dt (twice) and
+                # /bz were VECTOR divisions per propagation — multi-pass VPU
+                # ops — replaced by one scalar divide each + vector multiplies.
+                # FP effect is <=2 ulp on da/hgx/zmp_y, far inside the kernel
+                # parity tolerances (tests/test_kernel.py rtol 2e-5).
+                rdt = 1.0 / dt
+                bz = mass * gz
+                rbz = 1.0 / bz
+
+                def fb_step(x, y, yaw, roll, pitch, cost, u_t, v_next,
+                            rollv_next):
+                    # one full-body cost + Euler step given this step's
+                    # controls u_t (5 tiles) and the t+1 entries the ZMP
+                    # finite differences read (v, roll_v)
+                    cost += sc(2) * path_d2(x, y)
+                    v, w, direc, roll_v, pitch_v = u_t
+                    dv = v - v_ref
+                    cost += sc(3) * dv * dv
+                    droll_v = rollv_next - roll_v
+                    cost += sc(5) * droll_v * droll_v
+                    cost += sc(6) * jnp.where(v < 0.0, v * v, 0.0)
+                    # ZMP chain (models/full_body.py zmp_chain)
+                    da = (v_next - v) * rdt
+                    ac = v * w
+                    cd, sd = jnp.cos(direc), jnp.sin(direc)
+                    ay = da * sd + ac * cd
+                    hgx = ixx * droll_v * rdt
+                    # zmp_y needs only M_O_x = com_y*b_z - com_z*b_y - hg_x
+                    com_y = -c * jnp.sin(roll)
+                    com_z = c * jnp.cos(pitch) * jnp.cos(roll)
+                    by = -mass * ay
+                    mo_x = com_y * bz - com_z * by - hgx
+                    zmp_y = mo_x * rbz
+                    cost += sc(4) * zmp_y * zmp_y
+                    # Euler step (runs for every t in [0, T-3]; states at T-2
+                    # and T-1 are never read by the cost)
+                    heading = yaw + direc
+                    x = x + v * jnp.cos(heading) * dt
+                    y = y + v * jnp.sin(heading) * dt
+                    yaw = yaw + w * dt
+                    roll = roll + roll_v * dt
+                    pitch = pitch + pitch_v * dt
+                    return x, y, yaw, roll, pitch, cost
+
+                if regen:
+                    # dependency-breaking arm: controls are drawn ON THE FLY
+                    # (held in registers between steps), never written to /
+                    # re-read from the u_out VMEM scratch
+                    def fb_body_r(t, carry):
+                        x, y, yaw, roll, pitch, cost = carry[:6]
+                        u_t = carry[6:]
+                        u_n = draw_u_row(t + 1)
+                        out = fb_step(x, y, yaw, roll, pitch, cost, u_t,
+                                      u_n[0], u_n[3])
+                        return out + tuple(u_n)
+
+                    u0 = draw_u_row(0)
+                    out = jax.lax.fori_loop(
+                        0, horizon - 2, fb_body_r,
+                        (x, y, yaw, roll, pitch, cost) + tuple(u0),
+                    )
+                    cost = out[5]
+                elif half2:
+                    # two independent half-tile chains through one t-loop:
+                    # each iteration advances both, so one chain's VPU work
+                    # can hide the other's carried-dependency latency
+                    H = _ROWS // 2
+
+                    def halves(a):
+                        return a[:H], a[H:]
+
+                    init = tuple(
+                        tuple(halves(v)[i]
+                              for v in (x, y, yaw, roll, pitch, cost))
+                        for i in (0, 1)
+                    )
+
+                    def fb_body_h(t, carry):
+                        a, b = carry
+                        u = [u_out[t, j] for j in range(u_dim)]
+                        vn, rvn = u_out[t + 1, 0], u_out[t + 1, 3]
+                        a = fb_step(*a, tuple(h[:H] for h in u),
+                                    vn[:H], rvn[:H])
+                        b = fb_step(*b, tuple(h[H:] for h in u),
+                                    vn[H:], rvn[H:])
+                        return a, b
+
+                    a, b = jax.lax.fori_loop(
+                        0, horizon - 2, fb_body_h, init
+                    )
+                    cost = jnp.concatenate([a[5], b[5]], axis=0)
+                else:
+                    def fb_body(t, carry):
+                        x, y, yaw, roll, pitch, cost = carry
+                        u_t = tuple(u_out[t, j] for j in range(u_dim))
+                        return fb_step(x, y, yaw, roll, pitch, cost, u_t,
+                                       u_out[t + 1, 0], u_out[t + 1, 3])
+
+                    out = t_loop(
+                        horizon - 2, fb_body, (x, y, yaw, roll, pitch, cost)
+                    )
+                    cost = out[5]
+
+            co[...] = cost
 
         # --- online softmax-weighted update ------------------------------
         # accumulate=False (the costs-only pass of the two-pass elite_frac
@@ -508,10 +647,15 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
         accv[8 * nrow:8 * (nrow + 1), :] = (
             accv[8 * nrow:8 * (nrow + 1), :] * factor + part8(w)
         )
+        if regen:
+            # reset the per-tile PRNG and regenerate the identical control
+            # stream the rollout consumed — no u_out reads anywhere
+            pltpu.prng_seed(seed0 + kidx)
         for t in range(tm1):
+            u_row = draw_u_row(t) if regen else None
             for j in range(u_dim):
                 r = t * u_dim + j
-                u_tj = u_out[t, j]
+                u_tj = u_row[j] if regen else u_out[t, j]
                 wu = w * u_tj
                 accv[8 * r:8 * (r + 1), :] = (
                     accv[8 * r:8 * (r + 1), :] * factor + part8(wu)
@@ -543,6 +687,7 @@ def fused_sample_rollout_cost(
     vma_axis: Optional[str] = None,
     second_moment: bool = False,
     accumulate: bool = True,
+    costs_in: Optional[jax.Array] = None,
 ):
     """Run the fused kernel.
 
@@ -550,6 +695,15 @@ def fused_sample_rollout_cost(
     outputs come back all-zero and only the cost vector is meaningful — used
     for the first (threshold-finding) pass of the two-pass elite_frac flow,
     whose accumulation would be discarded.
+
+    costs_in: per-sample costs (K,) (or (B, K) in fleet mode) from a prior
+    accumulate=False pass — the COSTS-FREE elite second pass: the kernel
+    regenerates identical controls (same seed / same injected noise), reads
+    each sample's cost from this input instead of re-running the rollout +
+    distance scan + ZMP chain, and runs only the thresholded online update.
+    No cost output is produced; the return is (u_partial, norm_partial[,
+    m2_partial]). Bit-identical to a full recompute pass because pass 1's
+    costs ARE what the recompute would produce.
 
     u_prev: (T-1, U) f32; ref_xy: (T_ref, 2); state0: (S,); scal: (_NSCAL,);
     seed: (1,) int32; noise (optional, parity mode): the ``tile_noise``
@@ -596,10 +750,21 @@ def fused_sample_rollout_cost(
     nval = jnp.full(scal.shape[:-1] + (1,), num_samples, scal.dtype)
     scal = jnp.concatenate([scal, nval], axis=-1)
 
+    if costs_in is not None:
+        # pad the tail with +inf (zero weight; masked lanes are also excluded
+        # from the running-min baseline) and fold into the lane-tile layout
+        pad = k_pad - num_samples
+        if pad:
+            costs_in = jnp.pad(costs_in, [(0, 0)] * (costs_in.ndim - 1)
+                               + [(0, pad)], constant_values=jnp.inf)
+        costs_in = costs_in.reshape(
+            costs_in.shape[:-1] + (rows_total, _LANES)
+        )
+
     kernel = _make_kernel(
         model, horizon, num_ref, u_dim, noise is not None, steer_off, rows,
         batched=batched, second_moment=second_moment, accumulate=accumulate,
-        masked=masked,
+        masked=masked, costs_in=costs_in is not None,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -649,12 +814,28 @@ def fused_sample_rollout_cost(
                 )
             )
         inputs.append(noise)
+    if costs_in is not None:
+        if batched:
+            in_specs.append(
+                pl.BlockSpec((1, rows, _LANES), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        else:
+            in_specs.append(
+                pl.BlockSpec((rows, _LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+            )
+        inputs.append(costs_in)
 
     # Under shard_map the outputs are device-varying over the samples axis;
     # the vma annotation is required when check_vma is on.
     vma = frozenset({vma_axis}) if vma_axis is not None else frozenset()
     n_groups = tm1 * u_dim * (2 if second_moment else 1) + 1
     acc_rows = 8 * n_groups
+    acc_spec_b = pl.BlockSpec((1, acc_rows, _LANES), lambda b, i: (b, 0, 0),
+                              memory_space=pltpu.VMEM)
+    acc_spec_s = pl.BlockSpec((acc_rows, _LANES), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     if batched:
         grid = (B, grid_k)
         out_shape = (
@@ -666,8 +847,7 @@ def fused_sample_rollout_cost(
                          memory_space=pltpu.VMEM),
             # constant k index: each robot's accumulator block is revisited
             # across its k tiles (k is the innermost grid axis)
-            pl.BlockSpec((1, acc_rows, _LANES), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            acc_spec_b,
         )
     else:
         grid = (grid_k,)
@@ -680,15 +860,18 @@ def fused_sample_rollout_cost(
                          memory_space=pltpu.VMEM),
             # constant index map: the accumulator block is revisited (and
             # kept in VMEM) across the sequential grid
-            pl.BlockSpec((acc_rows, _LANES), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            acc_spec_s,
         )
+    if costs_in is not None:
+        # no cost output in the costs-free pass
+        out_shape = out_shape[1:]
+        out_specs = out_specs[1:]
     scratch_shapes = [
         pltpu.VMEM((tm1, u_dim, rows, _LANES), jnp.float32),  # sampled u tile
         pltpu.SMEM((1,), jnp.float32),  # running min cost
     ]
 
-    costs, acc = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
@@ -697,15 +880,23 @@ def fused_sample_rollout_cost(
         scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(*inputs)
+    if costs_in is not None:
+        costs, acc = None, outs[0] if isinstance(outs, (tuple, list)) else outs
+    else:
+        costs, acc = outs
     nu = tm1 * u_dim
     if batched:
         acc = acc.reshape(B, n_groups, 8, _LANES)
+        m2 = (acc[:, nu:-1],) if second_moment else ()
+        if costs_in is not None:
+            return (acc[:, :nu], acc[:, -1]) + m2
         costs = costs.reshape(B, k_pad)[:, :num_samples]
-        out = (costs, acc[:, :nu], acc[:, -1])
-        return out + ((acc[:, nu:-1],) if second_moment else ())
+        return (costs, acc[:, :nu], acc[:, -1]) + m2
     acc = acc.reshape(n_groups, 8, _LANES)
-    out = (costs.reshape(k_pad)[:num_samples], acc[:nu], acc[-1])
-    return out + ((acc[nu:-1],) if second_moment else ())
+    m2 = (acc[nu:-1],) if second_moment else ()
+    if costs_in is not None:
+        return (acc[:nu], acc[-1]) + m2
+    return (costs.reshape(k_pad)[:num_samples], acc[:nu], acc[-1]) + m2
 
 
 def pack_scalars(dt, cp, yaw_ref0, model_params=None, noise_beta=0.0,

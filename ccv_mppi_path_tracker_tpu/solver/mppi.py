@@ -160,11 +160,15 @@ def mppi_step(
         if elite_frac is not None:
             # Second pass: identical samples (per-tile PRNG reseed / same
             # injected noise), update accumulated only over the elites.
+            # COSTS-FREE: pass 1's per-sample costs stream back in, so this
+            # pass skips the rollout + distance scan + ZMP chain entirely
+            # (bit-identical to a recompute — same ops would reproduce the
+            # same f32 costs).
             _, u_rows, s_row, u2_rows = _kernel_sample_rollout_cost(
                 cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key,
                 noise, k_local, kernel_interpret, axis_name,
                 second_moment=adapt_sigma,
-                cost_thresh=stats["elite_thresh"],
+                cost_thresh=stats["elite_thresh"], costs_in=costs,
             )
         # The kernel accumulated the weighted update online under the local
         # min-cost baseline; finish the per-lane partial sums here. Under
@@ -305,11 +309,12 @@ def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
 def _kernel_sample_rollout_cost(
     cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
     kernel_interpret, axis_name=None, second_moment=False, cost_thresh=None,
-    accumulate=True,
+    accumulate=True, costs_in=None,
 ):
     """Bridge the fused Pallas kernel into the step: returns (costs,
     per-lane weighted-update partials, per-lane normalizer partials,
-    per-lane second-moment partials or None)."""
+    per-lane second-moment partials or None). With ``costs_in`` (the
+    costs-free elite second pass) the costs slot of the return is None."""
     from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
         fused_sample_rollout_cost,
         pack_scalars,
@@ -346,7 +351,10 @@ def _kernel_sample_rollout_cost(
         vma_axis=axis_name,
         second_moment=second_moment,
         accumulate=accumulate,
+        costs_in=costs_in,
     )
+    if costs_in is not None:
+        out = (None,) + out
     if second_moment:
         return out
     return out + (None,)

@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""A/B round 2: DEPENDENCY-BREAKING t-loop variants in the fused kernel.
+
+Round 3's ablations (artifacts/ab_tloop.json, kernel_ablation.json) were all
+op-count/schedule tweaks; ~3.6 ms of the 4.8 ms K=1M full-body step remained
+attributed to the t-loop body itself (carried dependencies + VMEM control
+round-trips). This script times the three dependency-breaking arms VERDICT
+r3 called for, same-window interleaved against the production "fori" loop at
+the K=1M T=30 flagship shape:
+
+- block4: 4 t-steps per fori iteration (loop control + dynamic-index
+  overhead amortized; constant-index epilogue).
+- half2:  two independent half-tile chains advanced per iteration — one
+  chain's VPU work can hide the other's carried-dependency latency.
+- regen:  controls never touch the u_out VMEM scratch — the rollout draws
+  them on the fly (registers) and the update loop re-seeds the per-tile PRNG
+  and regenerates the identical stream (the elite-second-pass trick applied
+  within one launch).
+
+Correctness preflight: block4/half2 must be BIT-identical to fori (same
+draws, same op order per sample); regen draws a different (equally valid)
+stream, so it is checked (a) exactly at sigma=0 (u_opt == warm start) and
+(b) statistically at the test shape (|u_opt - fori| within importance-
+sampling noise). Writes artifacts/ab_tloop2.json.
+
+Reference for what this kernel replaces: the serial per-sample loops of
+src/full_body_mppi.cpp:454-489.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+ARMS = ("fori", "block4", "half2", "regen")
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-samples", type=int, default=1_048_576)
+    p.add_argument("--horizon", type=int, default=30)
+    p.add_argument("--short", type=int, default=4)
+    p.add_argument("--long", type=int, default=16)
+    p.add_argument("--reps", type=int, default=5)
+    p.add_argument("--arms", default=",".join(ARMS))
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    import dataclasses
+
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.kernels import rollout_cost as rc
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+    K, T = args.num_samples, args.horizon
+    cfg, sp, cp, course = full_body_launch(num_samples=K, horizon=T)
+    model = get_model(cfg.model)
+    path = PathBuffer.from_points(course, 0.1)
+    state = jnp.zeros(model.num_states, jnp.float32).at[1].set(
+        float(course[0, 1]))
+    dt = jnp.float32(0.1)
+    sargs = (state, path, dt, sp, cp)
+    make_ctrl = lambda: ControllerState.initial(
+        jax.random.PRNGKey(0), T, model.num_controls)
+    fetch = lambda res: float(jnp.sum(res.u0))
+
+    arms = [a for a in args.arms.split(",") if a]
+    steps, compile_s, u_opts = {}, {}, {}
+    for mode in arms:
+        rc._TLOOP = mode
+        step = jax.jit(
+            functools.partial(mppi_step, cfg, use_kernel=True, lean=True),
+            donate_argnums=(0,),
+        )
+        t0 = time.perf_counter()
+        ctrl, res = step(make_ctrl(), *sargs)
+        u_opts[mode] = np.asarray(res.u_opt)
+        compile_s[mode] = time.perf_counter() - t0
+        print(f"compiled {mode}: {compile_s[mode]:.1f}s", flush=True)
+        steps[mode] = step
+    rc._TLOOP = "fori"
+
+    # --- correctness preflight --------------------------------------------
+    checks = {}
+    for mode in arms:
+        if mode in ("fori",):
+            continue
+        d = float(np.max(np.abs(u_opts[mode] - u_opts["fori"])))
+        if mode in ("block4", "half2"):
+            checks[mode] = {"max_diff_vs_fori": d, "ok": bool(d == 0.0)}
+        else:  # regen: different stream; statistical agreement only
+            checks[mode] = {"max_diff_vs_fori": d, "ok": bool(d < 0.05)}
+        print(f"check {mode}: max|u_opt diff|={d:.2e}", flush=True)
+    if "regen" in arms:
+        # exactness at sigma ~ 0: u_opt must equal the warm start regardless
+        # of the regenerated stream (any draw clamps to the mean)
+        rc._TLOOP = "regen"
+        sp0 = dataclasses.replace(
+            sp, control_noise=jnp.zeros_like(sp.control_noise)
+        )
+        step0 = jax.jit(
+            functools.partial(mppi_step, cfg, use_kernel=True, lean=True))
+        ctrl0 = make_ctrl()
+        _, res0 = step0(ctrl0, state, path, dt, sp0, cp)
+        d0 = float(np.max(np.abs(np.asarray(res0.u_opt))))  # warm start = 0
+        checks["regen_sigma0_exact"] = {"max_abs_u_opt": d0,
+                                        "ok": bool(d0 == 0.0)}
+        print(f"check regen sigma=0: max|u_opt|={d0:.2e}", flush=True)
+        rc._TLOOP = "fori"
+
+    def chain(step, iters):
+        ctrl = make_ctrl()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            ctrl, res = step(ctrl, *sargs)
+        fetch(res)
+        return time.perf_counter() - t0
+
+    t_s = {m: [] for m in steps}
+    t_l = {m: [] for m in steps}
+    for _ in range(args.reps):
+        for m, f in steps.items():
+            t_s[m].append(chain(f, args.short))
+        for m, f in steps.items():
+            t_l[m].append(chain(f, args.long))
+
+    results = {}
+    for m in steps:
+        ms = (min(t_l[m]) - min(t_s[m])) / (args.long - args.short) * 1e3
+        results[m] = {"step_ms": round(ms, 3),
+                      "compile_s": round(compile_s[m], 1)}
+        print(f"{m}: {ms:.3f} ms", flush=True)
+    out = {
+        "num_samples": K, "horizon": T, "model": cfg.model,
+        "device": str(jax.devices()[0]),
+        "checks": checks, "results": results,
+    }
+    path_out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "ab_tloop2.json")
+    with open(path_out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
