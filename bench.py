@@ -17,6 +17,14 @@ wall-clock timing inflates absurdly. We therefore time a *chained* sequence
 of control updates (each consumes the previous ControllerState) terminated
 by a scalar fetch (forces real execution), at two chain lengths, and report
 the MARGINAL time per step — fixed relay round-trip cancels out.
+
+Self-calibration: service load on the shared relay varies 1.2-2x across
+measurement windows (BENCH_DETAIL.md), so a single number is not comparable
+across rounds. Each invocation therefore times THREE configurations
+interleaved in the SAME window — kernel+lean (headline), kernel+full
+diagnostics, and the XLA pipeline — and emits all three: cross-round readers
+should compare ratios (which are load-invariant) or same-window deltas, not
+bare milliseconds.
 """
 
 import argparse
@@ -50,7 +58,11 @@ def main():
                         "additive noise; observed up to ~10x inflation under "
                         "sustained load)")
     p.add_argument("--no-kernel", action="store_true",
-                   help="use the XLA pipeline instead of the Pallas kernel")
+                   help="headline the XLA pipeline instead of the Pallas "
+                        "kernel")
+    p.add_argument("--no-triplet", action="store_true",
+                   help="time only the headline configuration (skip the "
+                        "same-window kernel-full / xla calibration arms)")
     p.add_argument("--lean", dest="lean", action="store_true", default=True,
                    help="serving mode (DEFAULT, as in runtime/realtime.py): "
                         "StepResult carries only u_opt/u0 — identical "
@@ -91,11 +103,6 @@ def main():
     state = jnp.zeros(model.num_states, jnp.float32).at[1].set(float(course[0, 1]))
     dt = jnp.float32(0.1)
 
-    step = jax.jit(
-        functools.partial(mppi_step, cfg, use_kernel=use_kernel,
-                          lean=args.lean),
-        donate_argnums=(0,),
-    )
     g = jax.jit(lambda x: jnp.sum(x))
     fetch = lambda res: float(g(res.u0))
     make_ctrl = lambda: ControllerState.initial(
@@ -103,25 +110,53 @@ def main():
     )
     step_args = (state, path, dt, sp, cp)
 
+    headline = ("xla_lean" if args.no_kernel
+                else ("kernel_lean" if args.lean else "kernel_full"))
+    variants = {headline: None}
+    if not args.no_triplet:
+        for name in ("kernel_lean", "kernel_full", "xla_lean"):
+            variants.setdefault(name, None)
+    for name in variants:
+        uk, lean = name.startswith("kernel"), name.endswith("lean")
+        variants[name] = jax.jit(
+            functools.partial(mppi_step, cfg, use_kernel=uk, lean=lean),
+            donate_argnums=(0,),
+        )
+
     # compile_s = trace + (remote) compile + cache load, measured AOT so a
     # relay stall on the first EXECUTION can't pollute it (warm runs were
     # reporting 100 s+ "compile" that was really a wedged first fetch).
-    t0 = time.time()
-    compiled = step.lower(make_ctrl(), *step_args).compile()
-    compile_s = time.time() - t0
-    del compiled
-    ctrl, res = step(make_ctrl(), *step_args)  # warm the execution path
-    fetch(res)
+    # Only the headline's compile is reported; the calibration arms are
+    # compiled/warmed before any timing so they never pollute the window.
+    compile_s = None
+    for name, step in variants.items():
+        t0 = time.time()
+        compiled = step.lower(make_ctrl(), *step_args).compile()
+        if name == headline:
+            compile_s = time.time() - t0
+        del compiled
+        ctrl, res = step(make_ctrl(), *step_args)  # warm the execution path
+        fetch(res)
 
-    t_short = min(
-        _chain_time(step, make_ctrl, step_args, fetch, args.short)
-        for _ in range(args.reps)
-    )
-    t_long = min(
-        _chain_time(step, make_ctrl, step_args, fetch, args.long)
-        for _ in range(args.reps)
-    )
-    per_step = (t_long - t_short) / (args.long - args.short)
+    # interleave all variants inside every repetition so they share each
+    # measurement window's service load; min over reps per variant
+    t_short = {name: [] for name in variants}
+    t_long = {name: [] for name in variants}
+    for _ in range(args.reps):
+        for name, step in variants.items():
+            t_short[name].append(
+                _chain_time(step, make_ctrl, step_args, fetch, args.short)
+            )
+        for name, step in variants.items():
+            t_long[name].append(
+                _chain_time(step, make_ctrl, step_args, fetch, args.long)
+            )
+    per_step_by = {
+        name: (min(t_long[name]) - min(t_short[name]))
+        / (args.long - args.short)
+        for name in variants
+    }
+    per_step = per_step_by[headline]
 
     props = args.num_samples * (args.horizon - 1)
     value = props / per_step
@@ -141,6 +176,17 @@ def main():
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
     }
+    if not args.no_triplet:
+        ms = {n: round(v * 1e3, 3) for n, v in per_step_by.items()}
+        out["window"] = {
+            **{f"{n}_ms": v for n, v in ms.items()},
+            "full_minus_lean_ms": round(
+                ms["kernel_full"] - ms["kernel_lean"], 3
+            ),
+            "kernel_speedup_vs_xla": round(
+                per_step_by["xla_lean"] / per_step_by["kernel_lean"], 2
+            ),
+        }
     print(json.dumps(out))
 
 
