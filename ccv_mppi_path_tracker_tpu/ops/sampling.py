@@ -50,6 +50,36 @@ def color_noise(white, beta):
     return jax.lax.cond(beta == 0.0, lambda n: n, colored, white)
 
 
+def draw_standard_normals(key, shape, dtype):
+    """The production exploration-noise draw, through the RBG generator.
+
+    The default threefry normal was 63% of the whole XLA-pipeline step at
+    K=102400 (artifacts/xla_breakdown.json — threefry computes its counters
+    on the VPU; RBG uses the TPU's hardware RNG instruction). The key is
+    deterministically derived from the solver's threefry key, so
+    resume/replay stay exact; the stream differs from threefry's but any
+    fixed stream is equally valid for exploration noise (parity tests
+    inject ``noise`` explicitly and never hit this path).
+
+    The 4-word rbg key comes from TWO independent threefry children (one
+    split block) rather than duplicating the 2-word parent — duplicated
+    halves correlate the rbg key words (ADVICE r3). Note (MIGRATION.md):
+    jax documents rbg output as unstable across XLA versions/backends, so
+    seeded streams are reproducible within an environment, not across
+    releases.
+    """
+    if not jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        key = jax.random.wrap_key_data(key)  # legacy raw (2,) uint32
+    k1, k2 = jax.random.split(key)
+    rbg = jax.random.wrap_key_data(
+        jnp.concatenate(
+            [jax.random.key_data(k1), jax.random.key_data(k2)]
+        ).astype(jnp.uint32),
+        impl="rbg",
+    )
+    return jax.random.normal(rbg, shape, dtype=dtype)
+
+
 def sample_controls(
     key,
     u_prev: jax.Array,
@@ -68,31 +98,8 @@ def sample_controls(
     """
     tm1, u_dim = u_prev.shape
     if noise is None:
-        # Draw through the RBG generator: the default threefry normal was
-        # 63% of the whole XLA-pipeline step at K=102400
-        # (artifacts/xla_breakdown.json — threefry computes its counters on
-        # the VPU; RBG uses the TPU's hardware RNG instruction). The key is
-        # deterministically derived from the solver's threefry key, so
-        # resume/replay stay exact; the stream differs from threefry's but
-        # any fixed stream is equally valid for exploration noise (parity
-        # tests inject `noise` explicitly and never hit this path).
-        if not jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
-            key = jax.random.wrap_key_data(key)  # legacy raw (2,) uint32
-        # Derive the 4-word rbg key from TWO independent threefry children
-        # (one split block) instead of duplicating the 2-word parent —
-        # duplicated halves correlate the rbg key words (ADVICE r3). Note
-        # (MIGRATION.md): jax documents rbg output as unstable across
-        # XLA versions/backends, so seeded streams are reproducible within
-        # an environment, not across releases.
-        k1, k2 = jax.random.split(key)
-        rbg = jax.random.wrap_key_data(
-            jnp.concatenate(
-                [jax.random.key_data(k1), jax.random.key_data(k2)]
-            ).astype(jnp.uint32),
-            impl="rbg",
-        )
-        noise = jax.random.normal(
-            rbg, (tm1, num_samples, u_dim), dtype=u_prev.dtype
+        noise = draw_standard_normals(
+            key, (tm1, num_samples, u_dim), u_prev.dtype
         )
     noise = color_noise(noise, params.noise_beta)
     u = u_prev[:, None, :] + noise * params.control_noise

@@ -40,6 +40,14 @@ def main():
                    help="also time an elite_frac=0.25 sharded step (adds "
                         "the radix-select rank threshold's 8 digit-histogram "
                         "psum rounds to the 3 vanilla collectives)")
+    p.add_argument("--overlap", action="store_true",
+                   help="also time a two-cycle pipelined step: next cycle's "
+                        "noise generation is placed in the SAME program as "
+                        "this cycle's pmin/psum collectives with no data "
+                        "dependency between them, so the scheduler may "
+                        "overlap sampling with the in-flight collectives "
+                        "(SURVEY.md section 7 'overlap with next-step "
+                        "sampling where legal')")
     p.add_argument("--grad-batch", type=int, default=0,
                    help="if > 0: run the system-ID gradient all-reduce "
                         "benchmark over this global transition batch — "
@@ -156,6 +164,76 @@ def main():
         float(np.asarray(r.u_opt.addressable_data(0))[0, 0])
         step_elite_s = (time.perf_counter() - t0) / args.timing_iters
 
+    # Two-cycle pipelined (collective/compute overlap) step: cycle n's
+    # solve consumes PRE-DRAWN noise; cycle n+1's standard normals are drawn
+    # inside the same jitted program, dependent only on the carried PRNG key
+    # — never on this cycle's pmin/psum — so XLA is free to overlap
+    # generation with the collectives. Chained timing vs the sequential
+    # RNG-mode step isolates whatever overlap the backend actually realizes.
+    step_overlap_s = 0.0
+    if args.overlap and args.timing_iters:
+        from ccv_mppi_path_tracker_tpu.core.random import shard_key
+        from ccv_mppi_path_tracker_tpu.ops.sampling import (
+            draw_standard_normals,
+        )
+        from ccv_mppi_path_tracker_tpu.solver import mppi_step as _mstep
+
+        k_local_dev = K // n_global
+        eps_spec = P(None, SAMPLES_AXIS, None)
+
+        def local_pipelined(ctrl_in, eps, state_, path_, dt_, sp_, cp_):
+            ctrl_out, res_ = _mstep(
+                cfg, ctrl_in, state_, path_, dt_, sp_, cp_, noise=eps,
+                axis_name=SAMPLES_AXIS, num_samples=k_local_dev,
+            )
+            # SAME generator as the sequential arm's in-step draw (rbg via
+            # draw_standard_normals) so the only difference between the arms
+            # is WHERE the draw sits relative to the collectives
+            nk = shard_key(jax.random.fold_in(ctrl_out.key, 7), SAMPLES_AXIS)
+            eps_next = draw_standard_normals(
+                nk, (T - 1, k_local_dev, 5), dtype
+            )
+            return ctrl_out, eps_next, res_
+
+        pipe = jax.jit(jax.shard_map(
+            local_pipelined, mesh=mesh,
+            in_specs=(P(), eps_spec, P(), P(), P(), P(), P()),
+            out_specs=(P(), eps_spec, P()),
+        ))
+
+        def local_draw(ctrl_in):
+            nk = shard_key(jax.random.fold_in(ctrl_in.key, 7), SAMPLES_AXIS)
+            return draw_standard_normals(nk, (T - 1, k_local_dev, 5), dtype)
+
+        draw0 = jax.jit(jax.shard_map(
+            local_draw, mesh=mesh, in_specs=(P(),), out_specs=eps_spec,
+        ))
+        c = ctrl2
+        eps = draw0(c)
+        c, eps, r = pipe(c, eps, state, path, dt, sp, cp)  # warm
+        float(np.asarray(r.u_opt.addressable_data(0))[0, 0])
+        # interleave the two arms against load drift (same discipline as
+        # _grad_bench); min over reps per arm. Overwrites the earlier
+        # sequential number with the interleaved one so the committed
+        # comparison is same-window.
+        reps = 4
+        inner = max(2, args.timing_iters // reps)
+        seq_t, pipe_t = [], []
+        for _ in range(reps):
+            cs = ctrl2
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                cs, rs = step(cs, state, path, dt, sp, cp)
+            float(np.asarray(rs.u_opt.addressable_data(0))[0, 0])
+            seq_t.append((time.perf_counter() - t0) / inner)
+            t0 = time.perf_counter()
+            for _ in range(inner):
+                c, eps, r = pipe(c, eps, state, path, dt, sp, cp)
+            float(np.asarray(r.u_opt.addressable_data(0))[0, 0])
+            pipe_t.append((time.perf_counter() - t0) / inner)
+        step_s = min(seq_t)
+        step_overlap_s = min(pipe_t)
+
     grad_extra = {}
     if args.grad_batch:
         grad_extra = _grad_bench(args, mesh, dtype, put)
@@ -167,6 +245,7 @@ def main():
         ess=ess,
         step_s=step_s,
         step_elite_s=step_elite_s,
+        step_overlap_s=step_overlap_s,
         n_global_devices=n_global,
         process_count=jax.process_count(),
         **grad_extra,
