@@ -566,30 +566,35 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 elif half2:
                     # two independent half-tile chains through one t-loop:
                     # each iteration advances both, so one chain's VPU work
-                    # can hide the other's carried-dependency latency
+                    # can hide the other's carried-dependency latency.
+                    # Halves are LOADED as half-tiles straight from the
+                    # u_out ref (pl.ds) — sublane-slicing a loaded full tile
+                    # crashes Mosaic's layout pass.
                     H = _ROWS // 2
+                    assert H % 8 == 0, "half tiles must stay vreg-aligned"
 
-                    def halves(a):
-                        return a[:H], a[H:]
-
-                    init = tuple(
-                        tuple(halves(v)[i]
-                              for v in (x, y, yaw, roll, pitch, cost))
-                        for i in (0, 1)
-                    )
+                    def half_init(i):
+                        z = jnp.zeros((H, _LANES), jnp.float32)
+                        yaw_h = z + st(2)
+                        dy = yaw_h - sc(8)
+                        return (z + st(0), z + st(1), yaw_h, z + st(3),
+                                z + st(4), sc(7) * dy * dy)
 
                     def fb_body_h(t, carry):
                         a, b = carry
-                        u = [u_out[t, j] for j in range(u_dim)]
-                        vn, rvn = u_out[t + 1, 0], u_out[t + 1, 3]
-                        a = fb_step(*a, tuple(h[:H] for h in u),
-                                    vn[:H], rvn[:H])
-                        b = fb_step(*b, tuple(h[H:] for h in u),
-                                    vn[H:], rvn[H:])
-                        return a, b
+                        out = []
+                        for i, h in enumerate((a, b)):
+                            sl = pl.ds(i * H, H)
+                            u = tuple(u_out[t, j, sl] for j in range(u_dim))
+                            out.append(fb_step(
+                                *h, u, u_out[t + 1, 0, sl],
+                                u_out[t + 1, 3, sl],
+                            ))
+                        return tuple(out)
 
                     a, b = jax.lax.fori_loop(
-                        0, horizon - 2, fb_body_h, init
+                        0, horizon - 2, fb_body_h,
+                        (half_init(0), half_init(1)),
                     )
                     cost = jnp.concatenate([a[5], b[5]], axis=0)
                 else:
