@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Sustained serving-session measurement on the real TPU (VERDICT r3 #4).
+
+Two arms, one committed artifact (artifacts/realtime_tpu.json):
+
+1. **device arm** — the serving configuration (full-body, K=102400, T=30,
+   fused kernel, lean) replanning at a fixed control rate for >= 30 s of
+   continuous closed-loop operation, entirely device-resident: solver plans
+   a 3 s horizon (dt=0.1) and the plant advances 1/hz per cycle (replan
+   faster than the rollout step — standard MPC practice). N consecutive
+   cycles run as one scan; sustained rate = cycles / wall. This is the
+   honest sustained-throughput statement: tens of thousands of back-to-back
+   full control updates with tracking quality measured on the executed
+   trajectory (a multi-lap circle course).
+
+2. **host arm** — the production-shaped host loop (runtime/realtime.py:
+   native absolute-deadline RateExecutor + InputGate + ControlLoop) at a
+   ladder of wall-clock rates for >= 30 s each, reporting the
+   deadline-miss/jitter accounting the reference's ros::Rate silently slips
+   (src/diff_drive_mppi.cpp:334). CAVEAT (recorded in the artifact): in
+   this container the TPU is reached through a network relay with ~40-100 ms
+   round trips, so the HOST loop's achievable rate here is bounded by the
+   relay, not the solver — the device arm shows what the same step sustains
+   without the relay in the loop.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+
+def device_arm(hz=500.0, seconds=60.0, num_samples=102_400, horizon=30,
+               use_kernel=True):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.paths.courses import circle_course
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+    cfg, sp, cp, _ = full_body_launch(num_samples=num_samples,
+                                      horizon=horizon)
+    course = circle_course(radius=10.0, resolution=0.1, turns=4.0,
+                           dtype=np.float32)
+    path = PathBuffer.from_points(course, 0.1, dtype=np.float32)
+    plant = get_model(cfg.model)
+    dt_solve = jnp.float32(0.1)          # rollout step: 3 s lookahead
+    dt_ctrl = jnp.float32(1.0 / hz)      # actuation interval (replan rate)
+    n = int(seconds * hz)
+
+    def body(carry, _):
+        ctrl, state = carry
+        ctrl, res = mppi_step(cfg, ctrl, state, path, dt_solve, sp, cp,
+                              use_kernel=use_kernel, lean=True)
+        state = plant.step(state, res.u0, dt_ctrl)
+        return (ctrl, state), state[:2]
+
+    sim = jax.jit(
+        lambda c, s: jax.lax.scan(body, (c, s), None, length=n)
+    )
+    state0 = jnp.asarray(
+        [float(course[0, 0]), float(course[0, 1]), float(np.pi / 2), 0.0,
+         0.0], jnp.float32,
+    )
+    ctrl0 = ControllerState.initial(jax.random.PRNGKey(0), cfg.horizon, 5)
+    t0 = time.perf_counter()
+    lowered = sim.lower(ctrl0, state0).compile()
+    compile_s = time.perf_counter() - t0
+    # warm run (real execution; also pre-faults buffers)
+    (_, _), xy = lowered(ctrl0, state0)
+    np.asarray(xy[-1])
+    t0 = time.perf_counter()
+    (ctrl, state), xy = lowered(ctrl0, state0)
+    xy = np.asarray(xy)  # blocks until the whole session is done
+    wall = time.perf_counter() - t0
+
+    m = tracking_metrics(
+        np.concatenate([np.asarray(state0)[None, :2], xy]), course,
+        dt=float(dt_ctrl),
+    )
+    m.pop("errors", None)
+    sustained_hz = n / wall
+    return {
+        "num_samples": num_samples, "horizon": horizon,
+        "kernel": bool(use_kernel), "lean": True,
+        "target_hz": hz, "cycles": n,
+        "sim_seconds": round(n / hz, 1),
+        "wall_seconds": round(wall, 2),
+        "sustained_hz": round(sustained_hz, 1),
+        "meets_target": bool(sustained_hz >= hz),
+        "per_cycle_ms": round(wall / n * 1e3, 4),
+        "compile_s": round(compile_s, 1),
+        "tracking": {k: round(v, 4) for k, v in m.items()},
+        "course": "circle r=10 m, 4 laps available",
+        "note": "solver dt=0.1 (3 s horizon), plant advances 1/hz per "
+                "cycle; one device-resident scan of all cycles",
+    }
+
+
+def host_arm(rates=(10.0, 25.0, 50.0), seconds=30.0, num_samples=102_400,
+             horizon=30, use_kernel=True):
+    import numpy as np
+
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.runtime.realtime import (
+        run_realtime_experiment,
+    )
+
+    out = []
+    for hz in rates:
+        cfg, sp, cp, course = full_body_launch(num_samples=num_samples,
+                                               horizon=horizon)
+        res = run_realtime_experiment(
+            cfg, sp, cp, course, hz=hz, num_cycles=int(seconds * hz),
+            lean=True, use_kernel=use_kernel,
+        )
+        m = dict(res["metrics"])
+        m.pop("errors", None)
+        rs = res["rate_stats"]
+        out.append({
+            "target_hz": hz, "seconds": seconds,
+            "rate_stats": {k: (round(v, 6) if isinstance(v, float) else v)
+                           for k, v in rs.items()},
+            "miss_rate": round(
+                rs.get("deadline_misses", 0) / max(rs.get("cycles", 1), 1),
+                4,
+            ),
+            "tracking": {k: round(float(v), 4) for k, v in m.items()},
+        })
+        print(f"host {hz} Hz: {out[-1]['rate_stats']} "
+              f"rmse={out[-1]['tracking'].get('rmse')}", flush=True)
+    return out
+
+
+def main():
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--hz", type=float, default=500.0)
+    p.add_argument("--seconds", type=float, default=60.0)
+    p.add_argument("--host-seconds", type=float, default=30.0)
+    p.add_argument("--skip-host", action="store_true")
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    dev = device_arm(hz=args.hz, seconds=args.seconds)
+    print("device arm:", json.dumps(dev, indent=1), flush=True)
+    hosts = [] if args.skip_host else host_arm(seconds=args.host_seconds)
+    out = {
+        "device": str(jax.devices()[0]),
+        "device_resident_session": dev,
+        "host_rate_ladder": hosts,
+        "environment_note": (
+            "host arm runs through this container's TPU network relay "
+            "(~40-100 ms RTT per synchronous fetch); on co-located hardware "
+            "the host loop's ceiling approaches the device arm's sustained "
+            "rate"
+        ),
+    }
+    path_out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "artifacts", "realtime_tpu.json")
+    with open(path_out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"wrote": path_out}))
+
+
+if __name__ == "__main__":
+    main()
