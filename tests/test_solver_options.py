@@ -380,6 +380,34 @@ def test_elite_threshold_is_kth_order_statistic():
         np.testing.assert_allclose(t, kth, rtol=1e-12)
 
 
+def test_elite_threshold_sort_equals_radix_select():
+    """The single-device path is sort-based (TPU scatters made the
+    histogram rounds 4-15x slower, artifacts/ab_elite.json); the sharded
+    path keeps the psum radix select. Both must return the IDENTICAL k-th
+    smallest — including with ties and negatives."""
+    import jax
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ccv_mppi_path_tracker_tpu.ops.softmax_update import elite_threshold
+
+    rng = np.random.RandomState(5)
+    cases = [
+        rng.randn(256).astype(np.float32) * 30.0,
+        np.repeat(rng.randn(32).astype(np.float32), 8),  # heavy ties
+        -np.abs(rng.randn(256)).astype(np.float32),      # all negative
+    ]
+    mesh = Mesh(np.array(jax.devices()[:1]), ("s",))
+    for c in cases:
+        cj = jnp.asarray(c)
+        for frac in (0.1, 0.25, 0.5):
+            t_sort = float(elite_threshold(cj, frac))
+            t_radix = float(jax.jit(jax.shard_map(
+                lambda x: elite_threshold(x, frac, axis_name="s")[None],
+                mesh=mesh, in_specs=P("s"), out_specs=P("s"),
+            ))(cj)[0])
+            assert t_sort == t_radix, (frac, t_sort, t_radix)
+
+
 def test_use_kernel_auto_policy():
     from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
     from ccv_mppi_path_tracker_tpu.kernels import should_use_kernel
