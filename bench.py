@@ -110,8 +110,11 @@ def main():
     )
     step_args = (state, path, dt, sp, cp)
 
-    headline = ("xla_lean" if args.no_kernel
-                else ("kernel_lean" if args.lean else "kernel_full"))
+    # headline name carries BOTH axes (--no-kernel --full => "xla_full",
+    # compiled as its own fourth variant) so the timed configuration always
+    # matches the reported "lean" flag (ADVICE r4)
+    headline = (f"{'xla' if args.no_kernel else 'kernel'}"
+                f"_{'lean' if args.lean else 'full'}")
     variants = {headline: None}
     if not args.no_triplet:
         for name in ("kernel_lean", "kernel_full", "xla_lean"):

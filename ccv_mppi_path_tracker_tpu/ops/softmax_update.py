@@ -25,20 +25,28 @@ def elite_threshold(
     costs: jax.Array,
     frac: float,
     axis_name: Optional[str] = None,
+    digit_bits: Optional[int] = None,
 ):
     """Global cost threshold selecting the best ``frac`` of ALL samples.
 
     Returns EXACTLY the ``round(frac * K_global)``-th smallest cost, found
-    by radix select over the order-preserving unsigned-integer transform of
+    by radix descent over the order-preserving unsigned-integer transform of
     the float bits (sign bit flipped for non-negatives, all bits flipped for
-    negatives — so unsigned key order == float order). Each round
-    histograms one 8-bit digit of the keys still in contention and descends
-    into the bucket containing the target rank. Every reduction is an exact
-    integer psum, so the sharded selection is bit-identical to
-    single-device — and the whole selection costs ceil(nbits/8) collective
-    rounds (4 for f32, 8 for f64) versus the 64 sequential psum rounds of
-    the value-bisection it replaces: at DCN latencies the collectives, not
-    the flops, bound the sharded elite step.
+    negatives — so unsigned key order == float order). Each round counts the
+    keys still in contention per value of one ``digit_bits``-wide digit and
+    descends into the bucket containing the target rank.
+
+    The per-round counts are SCATTER-FREE: a dense (K, 2^digit_bits)
+    equality-compare reduced over K — TPU scatter-adds (`.at[].add`)
+    serialize and measured 4-15x slower than even a full sort at these K
+    (BENCH_DETAIL.md round 4); the compare+sum form vectorizes cleanly and
+    beats the sort it replaced (v5e, K=1M: see artifacts/ab_elite.json
+    "select" entry). digit_bits trades rounds against per-round compare
+    width: the default is 4 (8 rounds of 16-wide compares) on one device
+    and 8 sharded — ceil(nbits/8) = 4 exact integer psum rounds for f32,
+    so at DCN latencies the collectives, not the flops, bound the sharded
+    elite step. Every reduction is an exact integer (p)sum, so the sharded
+    selection is bit-identical to single-device at any digit width.
     """
     k_local = costs.shape[0]
     n_shards = 1
@@ -46,15 +54,10 @@ def elite_threshold(
         n_shards = jax.lax.axis_size(axis_name)
     target = max(1, int(round(frac * k_local * n_shards)))
 
-    if axis_name is None:
-        # Single device: exact k-th smallest via sort. XLA's TPU sort beats
-        # the digit-histogram rounds ~4-15x (measured on v5e: K=102400
-        # 1.1 ms vs 4.6, K=1M 2.5 ms vs 37.6 — `.at[].add` scatters
-        # serialize on TPU), and returns the identical value. The radix
-        # select below exists for the SHARDED path, where it needs only
-        # ceil(nbits/8) exact integer psum rounds instead of a cross-shard
-        # gather/sort.
-        return jnp.sort(costs)[target - 1]
+    # Canonicalize NaN -> +inf: negative-sign NaNs would otherwise map below
+    # -inf under the bit-key transform (a NaN cost carries zero softmax
+    # weight either way; ADVICE r4).
+    costs = jnp.where(jnp.isnan(costs), jnp.inf, costs)
 
     nbits = costs.dtype.itemsize * 8
     udt = jnp.uint32 if nbits == 32 else jnp.uint64
@@ -62,21 +65,22 @@ def elite_threshold(
     b = jax.lax.bitcast_convert_type(costs, udt)
     key = jnp.where(b & sign != 0, ~b, b | sign)
 
-    digit_bits = 8
+    if digit_bits is None:
+        digit_bits = 8 if axis_name is not None else 4
+    assert nbits % digit_bits == 0
     nbuckets = 1 << digit_bits
     mask = jnp.asarray(nbuckets - 1, udt)
+    buckets = jnp.arange(nbuckets, dtype=udt)
     prefix = jnp.zeros((), udt)  # selected high bits so far
     rank = jnp.asarray(target, jnp.int32)  # rank within the current bucket
     for r in range(nbits // digit_bits):
         shift = nbits - digit_bits * (r + 1)
         digit = (key >> shift) & mask
-        if r == 0:
-            active = jnp.ones_like(digit, jnp.int32)
-        else:
-            active = (key >> (shift + digit_bits) == prefix).astype(jnp.int32)
-        hist = jnp.zeros((nbuckets,), jnp.int32).at[digit].add(
-            active, mode="drop"
-        )
+        eq = digit[:, None] == buckets[None, :]
+        if r > 0:
+            active = key >> (shift + digit_bits) == prefix
+            eq = eq & active[:, None]
+        hist = jnp.sum(eq, axis=0, dtype=jnp.int32)
         if axis_name is not None:
             hist = jax.lax.psum(hist, axis_name)
         cum = jnp.cumsum(hist)

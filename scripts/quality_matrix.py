@@ -142,7 +142,12 @@ def truncate_at_completion(xy, course):
     course = np.asarray(course, float)
     end = course[-1]
     d_end = np.hypot(xy[:, 0] - end[0], xy[:, 1] - end[1])
-    hit = np.nonzero(d_end < COMPLETE_TOL)[0]
+    # the docstring's actual criterion: the NEAREST course point must be the
+    # final one — proximity to the endpoint alone would truncate early on a
+    # course whose early segments pass near their own endpoint (ADVICE r4)
+    d2 = ((xy[:, None, :] - course[None, :, :]) ** 2).sum(-1)
+    nearest_is_last = np.argmin(d2, axis=1) == len(course) - 1
+    hit = np.nonzero(nearest_is_last & (d_end < COMPLETE_TOL))[0]
     if len(hit) == 0:
         return len(xy), False
     return int(hit[0]) + 1, True

@@ -380,11 +380,11 @@ def test_elite_threshold_is_kth_order_statistic():
         np.testing.assert_allclose(t, kth, rtol=1e-12)
 
 
-def test_elite_threshold_sort_equals_radix_select():
-    """The single-device path is sort-based (TPU scatters made the
-    histogram rounds 4-15x slower, artifacts/ab_elite.json); the sharded
-    path keeps the psum radix select. Both must return the IDENTICAL k-th
-    smallest — including with ties and negatives."""
+def test_elite_threshold_select_equals_sort_any_digit_width():
+    """The scatter-free digit-descent select (round 5: compare+sum counts,
+    no `.at[].add` scatters, no sort) must return the IDENTICAL k-th
+    smallest as a sort at EVERY digit width, single-device and sharded —
+    including with ties, negatives, infs, and NaN (canonicalized to +inf)."""
     import jax
     from jax.sharding import Mesh, PartitionSpec as P
 
@@ -396,16 +396,24 @@ def test_elite_threshold_sort_equals_radix_select():
         np.repeat(rng.randn(32).astype(np.float32), 8),  # heavy ties
         -np.abs(rng.randn(256)).astype(np.float32),      # all negative
     ]
+    special = rng.randn(256).astype(np.float32)
+    special[:4] = [np.inf, -np.inf, np.nan, -np.nan]
+    cases.append(special)
     mesh = Mesh(np.array(jax.devices()[:1]), ("s",))
     for c in cases:
         cj = jnp.asarray(c)
+        canon = np.where(np.isnan(c), np.inf, c)
         for frac in (0.1, 0.25, 0.5):
-            t_sort = float(elite_threshold(cj, frac))
-            t_radix = float(jax.jit(jax.shard_map(
+            k = max(1, int(round(frac * len(c))))
+            want = np.sort(canon)[k - 1]
+            for db in (1, 2, 4, 8):
+                t = float(elite_threshold(cj, frac, digit_bits=db))
+                assert t == want, (frac, db, t, want)
+            t_shard = float(jax.jit(jax.shard_map(
                 lambda x: elite_threshold(x, frac, axis_name="s")[None],
                 mesh=mesh, in_specs=P("s"), out_specs=P("s"),
             ))(cj)[0])
-            assert t_sort == t_radix, (frac, t_sort, t_radix)
+            assert t_shard == want, (frac, t_shard, want)
 
 
 def test_use_kernel_auto_policy():
