@@ -121,11 +121,25 @@ def eval_l2o():
     }
 
 
-def eval_sampler_closed_loop(trials: int = 10, cycles: int = 50):
-    """CLOSED-LOOP cold-start value of the learned proposal (VERDICT r3 #7):
-    from held-out off-course poses, run the full receding-horizon loop for
-    ``cycles`` with the first sampling center = learned proposal vs zeros,
-    and compare executed-trajectory tracking RMSE."""
+def _wilson_ci(wins: int, n: int, z: float = 1.959964):
+    """95% Wilson score interval for a binomial proportion."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = wins / n
+    denom = 1.0 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * ((p * (1 - p) / n + z * z / (4 * n * n)) ** 0.5) / denom
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
+def eval_sampler_closed_loop(trials: int = 40, cycles: int = 50):
+    """CLOSED-LOOP cold-start value of the learned proposal, with the
+    statistics the round-4 verdict demanded (weak #4): >= 30 held-out
+    starts, per-trial paired RMSEs, mean +/- std of the paired difference,
+    and a Wilson 95% CI on the win rate. One jitted scan serves every
+    trial (trials are paired: identical start pose and solver PRNG key,
+    the only difference is the first sampling center — learned proposal vs
+    zeros)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -138,9 +152,10 @@ def eval_sampler_closed_loop(trials: int = 10, cycles: int = 50):
         fit_sampler,
         proposal_mean,
     )
+    from ccv_mppi_path_tracker_tpu.metrics.tracking import tracking_metrics
     from ccv_mppi_path_tracker_tpu.paths import PathBuffer
     from ccv_mppi_path_tracker_tpu.paths.resample import resample_reference
-    from ccv_mppi_path_tracker_tpu.runtime.loop import run_tracking_experiment
+    from ccv_mppi_path_tracker_tpu.runtime.loop import build_simulate_scan
 
     cfg, sp, cp, course = diff_drive_launch(num_samples=256, horizon=10)
     feats, targets = collect_imitation_data(
@@ -153,6 +168,7 @@ def eval_sampler_closed_loop(trials: int = 10, cycles: int = 50):
 
     path = PathBuffer.from_points(course, 0.1)
     dt = jnp.float32(0.1)
+    sim = build_simulate_scan(cfg, num_steps=cycles, with_stats=False)
     rng = np.random.RandomState(7)  # held out from the training keys
     cold_rmse, warm_rmse = [], []
     for i in range(trials):
@@ -176,19 +192,35 @@ def eval_sampler_closed_loop(trials: int = 10, cycles: int = 50):
                 u_prev=u0, key=jax.random.PRNGKey(100 + i),
                 step=jnp.zeros((), jnp.int32),
             )
-            out = run_tracking_experiment(
-                cfg, sp, cp, course, num_steps=cycles, ctrl=ctrl,
-                state0=state0,
+            _, logs = sim(ctrl, jnp.asarray(state0), path, dt, sp, cp)
+            xy = np.concatenate(
+                [state0[None, :2], np.asarray(logs["state"])[:, :2]], axis=0
             )
-            acc.append(out["metrics"]["rmse"])
-    cold = float(np.mean(cold_rmse))
-    warm = float(np.mean(warm_rmse))
+            acc.append(float(tracking_metrics(xy, course, dt=0.1)["rmse"]))
+    cold = np.asarray(cold_rmse)
+    warm = np.asarray(warm_rmse)
+    diff = cold - warm  # >0 = learned proposal better
+    wins = int((diff > 0).sum())
+    lo, hi = _wilson_ci(wins, trials)
     return {
         "trials": trials, "cycles": cycles, "eval_seed": 7,
-        "cold_start_closed_loop_rmse": round(cold, 4),
-        "learned_proposal_closed_loop_rmse": round(warm, 4),
-        "rmse_reduction_pct": round(100.0 * (1.0 - warm / cold), 1),
-        "wins": int(sum(w <= c for w, c in zip(warm_rmse, cold_rmse))),
+        "cold_start_closed_loop_rmse": round(float(cold.mean()), 4),
+        "cold_std": round(float(cold.std(ddof=1)), 4),
+        "learned_proposal_closed_loop_rmse": round(float(warm.mean()), 4),
+        "warm_std": round(float(warm.std(ddof=1)), 4),
+        "rmse_reduction_pct": round(
+            100.0 * (1.0 - float(warm.mean()) / float(cold.mean())), 1),
+        "paired_diff_mean": round(float(diff.mean()), 4),
+        "paired_diff_std": round(float(diff.std(ddof=1)), 4),
+        "paired_t_stat": round(
+            float(diff.mean() / (diff.std(ddof=1) / np.sqrt(trials))), 2),
+        "wins": wins,
+        "win_rate": round(wins / trials, 3),
+        "win_rate_wilson95": [round(lo, 3), round(hi, 3)],
+        "per_trial_rmse": {
+            "cold": [round(v, 4) for v in cold_rmse],
+            "learned": [round(v, 4) for v in warm_rmse],
+        },
     }
 
 
