@@ -31,7 +31,7 @@ the full-body ZMP chain (src/full_body_mppi.cpp:404-424, :445-486).
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -76,30 +76,58 @@ KERNEL_MODELS = (
     "unicycle", "steering_unicycle", "rate_limited_steering", "full_body"
 )
 
-# Distance-scan variant switches, consulted at TRACE time — production
-# defaults are the measured winners (artifacts/ab_mindist.json,
-# scripts/ab_mindist.py times all four combinations interleaved on the real
-# chip). "difference" restores the 5-op (x-rx)^2+(y-ry)^2 form (on centered
-# coordinates); "full" restores the fully-unrolled scan with constant
-# indices. Both are kept for A/B experiments, not for serving.
-_DIST_FORM = "expanded"  # "expanded" | "difference"
-_MINDIST_UNROLL = "chunk"  # "chunk" | "full"
-# Time-loop structure (A/B arms; production default is the measured winner):
-# - "fori": dynamic u_out indexing, small program (r3 default)
-# - "unroll": constant indices, fully unrolled (r3 arm; compile-heavy)
-# - "block4": 4 t-steps per fori iteration — amortizes loop control +
-#   dynamic-index overhead 4x, constant-index epilogue for the remainder
-# - "regen" (full_body RNG mode only): dependency-breaking — controls are
-#   NEVER written to the u_out VMEM scratch; the rollout draws them on the
-#   fly each step and the update loop re-seeds the per-tile PRNG and
-#   regenerates the identical stream (the same trick the elite second pass
-#   uses across kernel invocations). Removes the VMEM round-trip from the
-#   t-loop body. White noise only (beta ignored).
-# - "half2" (full_body only): two independent half-tiles (rows/2) advanced
-#   through one t-loop — interleaves two dependency chains so one hides the
-#   other's latency.
-# Measured same-window at K=1M T=30: artifacts/ab_tloop2.json.
-_TLOOP = "fori"  # "fori" | "unroll" | "block4" | "regen" | "half2"
+# Op groups of the full_body kernel body, in progressive-arm order. The
+# floor-accounting ablation (scripts/kernel_floor.py) re-enables them one at
+# a time on an otherwise no-op body — "sample" is the control sampling loop,
+# "loop" the t-loop control + u_out VMEM reads, "euler" the kinematic
+# integration, "zmp" every non-path cost term plus the ZMP chain, "dist" the
+# min-distance scan + path cost. Groups a disabled arm would dead-code
+# -eliminate are anchored through a runtime-zero SMEM "probe" scalar the
+# compiler cannot fold (see _make_kernel).
+GROUPS = ("sample", "loop", "euler", "zmp", "dist")
+_ALL_GROUPS = frozenset(GROUPS)
+
+
+class KernelVariant(NamedTuple):
+    """Static kernel-structure switches, consulted at TRACE time.
+
+    Production serving always uses ``DEFAULT_VARIANT`` — the measured
+    winners (artifacts/ab_mindist.json, artifacts/ab_tloop2.json); the
+    other values are kept as A/B experiment arms, passed explicitly by the
+    ablation scripts (no module-global monkey-patching).
+
+    tloop — time-loop structure:
+      - "fori": dynamic u_out indexing, small program (production default)
+      - "unroll": constant indices, fully unrolled (compile-heavy)
+      - "block4": 4 t-steps per fori iteration — loop control +
+        dynamic-index overhead amortized 4x, constant-index epilogue
+      - "regen" (full_body RNG mode only): dependency-breaking — controls
+        are NEVER written to the u_out VMEM scratch; the rollout draws them
+        on the fly and the update loop re-seeds the per-tile PRNG and
+        regenerates the identical stream (the trick the elite second pass
+        uses across kernel invocations). White noise only (noise_beta must
+        be 0 — enforced where it is statically known).
+      - "half2" (full_body only): two independent half-tile chains through
+        one t-loop so one chain's VPU work hides the other's latency.
+      All measured same-window at K=1M T=30: artifacts/ab_tloop2.json.
+
+    dist_form — "expanded" (3-op centered expanded form, production) |
+      "difference" (5-op (x-rx)^2+(y-ry)^2 on centered coordinates).
+    mindist_unroll — "chunk" (8-point fori body, production) | "full"
+      (fully unrolled constant-index scan; compile-heavy at large T*T_ref).
+
+    groups — frozenset of enabled full_body op groups (see GROUPS); only
+      the floor-accounting arms shrink it. Non-full_body models require the
+      full set.
+    """
+
+    tloop: str = "fori"
+    dist_form: str = "expanded"
+    mindist_unroll: str = "chunk"
+    groups: frozenset = _ALL_GROUPS
+
+
+DEFAULT_VARIANT = KernelVariant()
 
 
 def should_use_kernel(num_samples: int, horizon: int,
@@ -179,8 +207,11 @@ def tile_noise(noise: jax.Array, k_pad: int) -> jax.Array:
 # it get zero weight in the online update (ops/softmax_update.py
 # elite_threshold supplies the globally-exact rank threshold; the solver
 # makes a second kernel pass with it — same seed, identical samples).
-# The wrapper appends slot 18 = num_valid (true K before tile padding; exact
-# in f32 up to 2^24): sample indices >= it get zero weight.
+# The wrapper appends slot 18 = probe (always 0.0 at runtime; the group
+# -ablation arms multiply otherwise-dead values by it so the compiler keeps
+# them — unused and folded away in production variants) and slot 19 =
+# num_valid (true K before tile padding; exact in f32 up to 2^24): sample
+# indices >= it get zero weight.
 _NSCAL = 18
 
 
@@ -226,20 +257,33 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                  with_noise_input: bool, steer_off: bool, rows: int,
                  batched: bool = False, second_moment: bool = False,
                  accumulate: bool = True, masked: bool = False,
-                 costs_in: bool = False):
+                 costs_in: bool = False,
+                 variant: KernelVariant = DEFAULT_VARIANT):
     tm1 = horizon - 1
     cap2 = DIST_CAP * DIST_CAP
     _ROWS = rows
     assert not costs_in or accumulate, "costs_in pass exists to accumulate"
-    regen = _TLOOP == "regen"
-    half2 = _TLOOP == "half2"
+    regen = variant.tloop == "regen"
+    half2 = variant.tloop == "half2"
     if regen:
         assert (model == "full_body" and not with_noise_input
                 and accumulate and not costs_in), (
-            "_TLOOP='regen' is the full_body RNG-mode A/B arm (white noise)"
+            "tloop='regen' is the full_body RNG-mode A/B arm (white noise)"
         )
     if half2:
-        assert model == "full_body", "_TLOOP='half2' is a full_body A/B arm"
+        assert model == "full_body", "tloop='half2' is a full_body A/B arm"
+    groups = frozenset(variant.groups)
+    ablated = groups != _ALL_GROUPS
+    if ablated:
+        assert model == "full_body" and not costs_in, (
+            "group ablation arms exist for the full_body floor accounting"
+        )
+        assert groups <= _ALL_GROUPS and "sample" in groups
+        assert variant.tloop == "fori", "ablate the production loop form"
+    do_loop = "loop" in groups
+    do_euler = "euler" in groups
+    do_zmp = "zmp" in groups
+    do_dist = "dist" in groups
 
     def kernel(*refs):
         refs = list(refs)
@@ -366,8 +410,8 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             yaw = jnp.full((_ROWS, _LANES), st(2))
             cost = jnp.zeros((_ROWS, _LANES), jnp.float32)
 
-            dist_form = _DIST_FORM
-            mindist_unroll = _MINDIST_UNROLL
+            dist_form = variant.dist_form
+            mindist_unroll = variant.mindist_unroll
 
             def path_d2(xv, yv):
                 # Centered expanded form (ops/mindist.py module docstring): the
@@ -418,15 +462,15 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 # The time loop is a fori_loop with dynamic indexing into the
                 # u_out VMEM block by default — unrolling T=30..100 steps made
                 # Mosaic compiles pathologically slow before the distance scan
-                # was chunked; _TLOOP="unroll" is the constant-index A/B arm,
+                # was chunked; tloop="unroll" is the constant-index A/B arm,
                 # "block4" the 4-steps-per-iteration arm (loop control +
                 # dynamic-index overhead amortized 4x, remainder as a
                 # constant-index epilogue).
-                if _TLOOP == "unroll":
+                if variant.tloop == "unroll":
                     for t in range(bound):
                         carry = body(t, carry)
                     return carry
-                if _TLOOP == "block4":
+                if variant.tloop == "block4":
                     nblk = bound // 4
 
                     def blk(b, carry):
@@ -498,8 +542,10 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                 mass, c = sc(9), sc(10)
                 ixx = sc(11)
                 gz = sc(14)
-                dyaw0 = yaw - sc(8)
-                cost += sc(7) * dyaw0 * dyaw0
+                probe = sc(18)  # runtime 0.0: DCE anchor for ablation arms
+                if do_zmp:
+                    dyaw0 = yaw - sc(8)
+                    cost += sc(7) * dyaw0 * dyaw0
 
                 # scalar reciprocals hoisted out of the loop: /dt (twice) and
                 # /bz were VECTOR divisions per propagation — multi-pass VPU
@@ -514,35 +560,51 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                             rollv_next):
                     # one full-body cost + Euler step given this step's
                     # controls u_t (5 tiles) and the t+1 entries the ZMP
-                    # finite differences read (v, roll_v)
-                    cost += sc(2) * path_d2(x, y)
+                    # finite differences read (v, roll_v). The do_* gates
+                    # are trace-time constants — the production variant
+                    # (all groups on) traces exactly the ungated body; the
+                    # floor-accounting arms (scripts/kernel_floor.py) drop
+                    # suffix groups and anchor otherwise-dead loads/carries
+                    # through the runtime-zero probe scalar so Mosaic keeps
+                    # the remaining work.
+                    if do_dist:
+                        cost += sc(2) * path_d2(x, y)
                     v, w, direc, roll_v, pitch_v = u_t
-                    dv = v - v_ref
-                    cost += sc(3) * dv * dv
-                    droll_v = rollv_next - roll_v
-                    cost += sc(5) * droll_v * droll_v
-                    cost += sc(6) * jnp.where(v < 0.0, v * v, 0.0)
-                    # ZMP chain (models/full_body.py zmp_chain)
-                    da = (v_next - v) * rdt
-                    ac = v * w
-                    cd, sd = jnp.cos(direc), jnp.sin(direc)
-                    ay = da * sd + ac * cd
-                    hgx = ixx * droll_v * rdt
-                    # zmp_y needs only M_O_x = com_y*b_z - com_z*b_y - hg_x
-                    com_y = -c * jnp.sin(roll)
-                    com_z = c * jnp.cos(pitch) * jnp.cos(roll)
-                    by = -mass * ay
-                    mo_x = com_y * bz - com_z * by - hgx
-                    zmp_y = mo_x * rbz
-                    cost += sc(4) * zmp_y * zmp_y
-                    # Euler step (runs for every t in [0, T-3]; states at T-2
-                    # and T-1 are never read by the cost)
-                    heading = yaw + direc
-                    x = x + v * jnp.cos(heading) * dt
-                    y = y + v * jnp.sin(heading) * dt
-                    yaw = yaw + w * dt
-                    roll = roll + roll_v * dt
-                    pitch = pitch + pitch_v * dt
+                    if do_zmp:
+                        dv = v - v_ref
+                        cost += sc(3) * dv * dv
+                        droll_v = rollv_next - roll_v
+                        cost += sc(5) * droll_v * droll_v
+                        cost += sc(6) * jnp.where(v < 0.0, v * v, 0.0)
+                        # ZMP chain (models/full_body.py zmp_chain)
+                        da = (v_next - v) * rdt
+                        ac = v * w
+                        cd, sd = jnp.cos(direc), jnp.sin(direc)
+                        ay = da * sd + ac * cd
+                        hgx = ixx * droll_v * rdt
+                        # zmp_y needs only M_O_x = com_y*b_z - com_z*b_y - hg_x
+                        com_y = -c * jnp.sin(roll)
+                        com_z = c * jnp.cos(pitch) * jnp.cos(roll)
+                        by = -mass * ay
+                        mo_x = com_y * bz - com_z * by - hgx
+                        zmp_y = mo_x * rbz
+                        cost += sc(4) * zmp_y * zmp_y
+                    else:
+                        # keep the t+1 u_out reads (they are part of the
+                        # loop group's memory traffic) and, when the Euler
+                        # group is also off, the u_t reads alive
+                        cost += probe * (v_next + rollv_next)
+                        if not do_euler:
+                            cost += probe * (v + w + direc + roll_v + pitch_v)
+                    if do_euler:
+                        # Euler step (runs for every t in [0, T-3]; states at
+                        # T-2 and T-1 are never read by the cost)
+                        heading = yaw + direc
+                        x = x + v * jnp.cos(heading) * dt
+                        y = y + v * jnp.sin(heading) * dt
+                        yaw = yaw + w * dt
+                        roll = roll + roll_v * dt
+                        pitch = pitch + pitch_v * dt
                     return x, y, yaw, roll, pitch, cost
 
                 if regen:
@@ -597,6 +659,10 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                         (half_init(0), half_init(1)),
                     )
                     cost = jnp.concatenate([a[5], b[5]], axis=0)
+                elif not do_loop:
+                    # sample-only ablation arm: no t-loop at all; one probe
+                    # -anchored read keeps the sampled scratch alive
+                    cost += probe * u_out[0, 0]
                 else:
                     def fb_body(t, carry):
                         x, y, yaw, roll, pitch, cost = carry
@@ -607,7 +673,12 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                     out = t_loop(
                         horizon - 2, fb_body, (x, y, yaw, roll, pitch, cost)
                     )
-                    cost = out[5]
+                    x, y, yaw, roll, pitch, cost = out
+                    if do_euler and not do_dist:
+                        # final kinematic carries are otherwise dead
+                        cost += probe * (x + y + yaw)
+                    if do_euler and not do_zmp:
+                        cost += probe * (roll + pitch)
 
             co[...] = cost
 
@@ -625,7 +696,7 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             row_ids = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 0)
             col_ids = jax.lax.broadcasted_iota(jnp.int32, (_ROWS, _LANES), 1)
             idx = (kidx * _ROWS + row_ids) * _LANES + col_ids
-            valid = idx.astype(jnp.float32) < sc(18)
+            valid = idx.astype(jnp.float32) < sc(19)
             tile_min = jnp.min(jnp.where(valid, cost, jnp.inf))
         else:
             tile_min = jnp.min(cost)
@@ -693,8 +764,14 @@ def fused_sample_rollout_cost(
     second_moment: bool = False,
     accumulate: bool = True,
     costs_in: Optional[jax.Array] = None,
+    variant: KernelVariant = DEFAULT_VARIANT,
 ):
     """Run the fused kernel.
+
+    variant: static kernel-structure switches (time-loop form, distance-scan
+    form, op-group ablation) — see :class:`KernelVariant`. Production
+    serving always passes the default; the ablation scripts pass the A/B
+    arms explicitly.
 
     accumulate=False skips the online softmax-weighted update: the partial
     outputs come back all-zero and only the cost vector is meaningful — used
@@ -740,7 +817,7 @@ def fused_sample_rollout_cost(
     # enter the cost only through distances, which are translation-invariant,
     # and rollout states never leave the kernel, so the shift is unobservable.
     c, rc2, rn = center_ref(ref_xy)
-    if _DIST_FORM == "expanded":
+    if variant.dist_form == "expanded":
         ref_xy = jnp.concatenate([rc2, rn[..., None]], axis=-1)
     else:  # difference-form A/B arm: centered raw refs in the first 2 cols
         ref_xy = jnp.concatenate([0.5 * rc2, rn[..., None]], axis=-1)
@@ -751,9 +828,11 @@ def fused_sample_rollout_cost(
     masked = k_pad != num_samples
     grid_k = k_pad // tile
     rows_total = k_pad // _LANES
-    # slot 18 = num_valid: the kernel zero-weights padded-tail lanes exactly
+    # slot 18 = probe (runtime 0.0, DCE anchor for ablation arms); slot 19 =
+    # num_valid: the kernel zero-weights padded-tail lanes exactly
+    probe = jnp.zeros(scal.shape[:-1] + (1,), scal.dtype)
     nval = jnp.full(scal.shape[:-1] + (1,), num_samples, scal.dtype)
-    scal = jnp.concatenate([scal, nval], axis=-1)
+    scal = jnp.concatenate([scal, probe, nval], axis=-1)
 
     if costs_in is not None:
         # pad the tail with +inf (zero weight; masked lanes are also excluded
@@ -769,7 +848,7 @@ def fused_sample_rollout_cost(
     kernel = _make_kernel(
         model, horizon, num_ref, u_dim, noise is not None, steer_off, rows,
         batched=batched, second_moment=second_moment, accumulate=accumulate,
-        masked=masked, costs_in=costs_in is not None,
+        masked=masked, costs_in=costs_in is not None, variant=variant,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

@@ -58,6 +58,7 @@ def mppi_step(
     num_samples: Optional[int] = None,
     use_kernel: bool = False,
     kernel_interpret: Optional[bool] = None,
+    kernel_variant=None,
     refine_steps: int = 0,
     refine_step_size: float = 0.02,
     refine_method: str = "gradient",
@@ -80,7 +81,9 @@ def mppi_step(
         any K (the kernel pads to whole tiles and exactly zero-weights the
         tail). With ``noise=None`` the kernel draws its
         own (different but deterministic) stream. kernel_interpret=None
-        auto-selects interpreter mode off-TPU.
+        auto-selects interpreter mode off-TPU. kernel_variant (a
+        kernels.rollout_cost.KernelVariant, default None = production)
+        selects the A/B kernel-structure arms for the ablation scripts.
     refine_steps: gradient-smoothed MPPI — polish the sampled update with
         this many refinement steps through the rollout (diff/gradients.py)
         before actuation. 0 = classic sampled MPPI. refine_method selects
@@ -153,6 +156,7 @@ def mppi_step(
             # with elite_frac this first pass only finds the threshold — its
             # update accumulation would be discarded, so skip it in-kernel
             accumulate=elite_frac is None,
+            variant=kernel_variant,
         )
         _, stats = softmax_weights(
             costs, sp.lam, axis_name=axis_name, elite_frac=elite_frac
@@ -169,6 +173,7 @@ def mppi_step(
                 noise, k_local, kernel_interpret, axis_name,
                 second_moment=adapt_sigma,
                 cost_thresh=stats["elite_thresh"], costs_in=costs,
+                variant=kernel_variant,
             )
         # The kernel accumulated the weighted update online under the local
         # min-cost baseline; finish the per-lane partial sums here. Under
@@ -309,13 +314,14 @@ def _maybe_refine(cfg, u_opt, state, ref, dt, sp, cp, model_params,
 def _kernel_sample_rollout_cost(
     cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise, k_local,
     kernel_interpret, axis_name=None, second_moment=False, cost_thresh=None,
-    accumulate=True, costs_in=None,
+    accumulate=True, costs_in=None, variant=None,
 ):
     """Bridge the fused Pallas kernel into the step: returns (costs,
     per-lane weighted-update partials, per-lane normalizer partials,
     per-lane second-moment partials or None). With ``costs_in`` (the
     costs-free elite second pass) the costs slot of the return is None."""
     from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
+        DEFAULT_VARIANT,
         fused_sample_rollout_cost,
         pack_scalars,
         padded_k,
@@ -323,6 +329,14 @@ def _kernel_sample_rollout_cost(
         tile_rows,
     )
 
+    if variant is None:
+        variant = DEFAULT_VARIANT
+    if variant.tloop == "regen" and isinstance(sp.noise_beta, (int, float)):
+        # the regen arm regenerates WHITE noise in its update loop; a
+        # statically-known nonzero beta would silently diverge (ADVICE r4)
+        assert sp.noise_beta == 0, (
+            "tloop='regen' samples white noise; noise_beta must be 0"
+        )
     if kernel_interpret is None:
         kernel_interpret = jax.default_backend() != "tpu"
     u_dim = u_mean.shape[1]
@@ -352,6 +366,7 @@ def _kernel_sample_rollout_cost(
         second_moment=second_moment,
         accumulate=accumulate,
         costs_in=costs_in,
+        variant=variant,
     )
     if costs_in is not None:
         out = (None,) + out

@@ -74,19 +74,19 @@ def main():
     ]
     steps, compile_s = {}, {}
     for form, unroll in variants:
-        rc._DIST_FORM, rc._MINDIST_UNROLL = form, unroll
+        kv = rc.KernelVariant(dist_form=form, mindist_unroll=unroll)
         step = jax.jit(
-            functools.partial(mppi_step, cfg, use_kernel=True, lean=True),
+            functools.partial(mppi_step, cfg, use_kernel=True, lean=True,
+                              kernel_variant=kv),
             donate_argnums=(0,),
         )
         t0 = time.perf_counter()
-        ctrl, res = step(make_ctrl(), *sargs)  # trace + compile (globals live)
+        ctrl, res = step(make_ctrl(), *sargs)
         fetch(res)
         compile_s[(form, unroll)] = time.perf_counter() - t0
         steps[(form, unroll)] = step
         print(f"compiled {form}/{unroll}: {compile_s[(form, unroll)]:.1f}s",
               flush=True)
-    rc._DIST_FORM, rc._MINDIST_UNROLL = "expanded", "chunk"  # restore
 
     def chain(step, iters):
         ctrl = make_ctrl()

@@ -56,9 +56,9 @@ def main():
 
     steps, compile_s = {}, {}
     for mode in ("fori", "unroll"):
-        rc._TLOOP = mode
         step = jax.jit(
-            functools.partial(mppi_step, cfg, use_kernel=True, lean=True),
+            functools.partial(mppi_step, cfg, use_kernel=True, lean=True,
+                              kernel_variant=rc.KernelVariant(tloop=mode)),
             donate_argnums=(0,),
         )
         t0 = time.perf_counter()
@@ -67,7 +67,6 @@ def main():
         compile_s[mode] = time.perf_counter() - t0
         print(f"compiled {mode}: {compile_s[mode]:.1f}s", flush=True)
         steps[mode] = step
-    rc._TLOOP = "fori"
 
     def chain(step, iters):
         ctrl = make_ctrl()

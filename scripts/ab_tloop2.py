@@ -86,9 +86,9 @@ def main():
     arms = [a for a in args.arms.split(",") if a]
     steps, compile_s, u_opts = {}, {}, {}
     for mode in arms:
-        rc._TLOOP = mode
         step = jax.jit(
-            functools.partial(mppi_step, cfg, use_kernel=True, lean=True),
+            functools.partial(mppi_step, cfg, use_kernel=True, lean=True,
+                              kernel_variant=rc.KernelVariant(tloop=mode)),
             donate_argnums=(0,),
         )
         t0 = time.perf_counter()
@@ -97,7 +97,6 @@ def main():
         compile_s[mode] = time.perf_counter() - t0
         print(f"compiled {mode}: {compile_s[mode]:.1f}s", flush=True)
         steps[mode] = step
-    rc._TLOOP = "fori"
 
     # --- correctness preflight --------------------------------------------
     checks = {}
@@ -118,19 +117,18 @@ def main():
     if "regen" in arms:
         # exactness at sigma ~ 0: u_opt must equal the warm start regardless
         # of the regenerated stream (any draw clamps to the mean)
-        rc._TLOOP = "regen"
         sp0 = dataclasses.replace(
             sp, control_noise=jnp.zeros_like(sp.control_noise)
         )
         step0 = jax.jit(
-            functools.partial(mppi_step, cfg, use_kernel=True, lean=True))
+            functools.partial(mppi_step, cfg, use_kernel=True, lean=True,
+                              kernel_variant=rc.KernelVariant(tloop="regen")))
         ctrl0 = make_ctrl()
         _, res0 = step0(ctrl0, state, path, dt, sp0, cp)
         d0 = float(np.max(np.abs(np.asarray(res0.u_opt))))  # warm start = 0
         checks["regen_sigma0_exact"] = {"max_abs_u_opt": d0,
                                         "ok": bool(d0 == 0.0)}
         print(f"check regen sigma=0: max|u_opt|={d0:.2e}", flush=True)
-        rc._TLOOP = "fori"
 
     def chain(step, iters):
         ctrl = make_ctrl()

@@ -259,3 +259,111 @@ def test_kernel_masked_tail_matches_xla_at_reference_k():
                       elite_frac=0.1, use_kernel=True, kernel_interpret=True)
     np.testing.assert_allclose(np.asarray(be.u_opt), np.asarray(ae.u_opt),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_variant_arms_match_default():
+    """The A/B kernel-structure switches (former module globals, now the
+    explicit KernelVariant argument threaded through mppi_step) must agree
+    with the production default: same-op-order arms bit-exactly, the
+    re-associated difference distance form to float32 round-off."""
+    from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import KernelVariant
+
+    cfg, sp, cp, path, ctrl, state, noise = _setup(full_body_launch)
+    dt = jnp.float32(0.1)
+    _, base = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                        use_kernel=True, kernel_interpret=True)
+    arms = [
+        (KernelVariant(dist_form="difference"), False),
+        (KernelVariant(mindist_unroll="full"), True),
+        (KernelVariant(tloop="unroll"), True),
+        (KernelVariant(tloop="block4"), True),
+        (KernelVariant(tloop="half2"), True),
+    ]
+    for kv, exact in arms:
+        _, res = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+                           use_kernel=True, kernel_interpret=True,
+                           kernel_variant=kv)
+        if exact:
+            np.testing.assert_array_equal(
+                np.asarray(res.u_opt), np.asarray(base.u_opt), err_msg=str(kv)
+            )
+        else:
+            np.testing.assert_allclose(
+                np.asarray(res.u_opt), np.asarray(base.u_opt),
+                rtol=2e-5, atol=2e-6, err_msg=str(kv),
+            )
+
+
+def test_kernel_group_ablation_arms():
+    """Floor-accounting arms (scripts/kernel_floor.py): each progressive
+    group subset runs; cost-free arms return exactly zero costs (the probe
+    scalar is 0 at runtime), the +dist arm reproduces the full production
+    costs bit-exactly, and a zero path_weight reproduces the +zmp arm."""
+    from ccv_mppi_path_tracker_tpu.kernels.rollout_cost import (
+        KernelVariant,
+        fused_sample_rollout_cost,
+        pack_scalars,
+        padded_k,
+        tile_noise,
+        tile_rows,
+    )
+
+    Ks, Ts = 1024, 8
+    cfg, sp, cp, course = full_body_launch(num_samples=Ks, horizon=Ts,
+                                           dtype=np.float32)
+    from ccv_mppi_path_tracker_tpu.models import get_model
+
+    mp = get_model("full_body").default_params
+    rng = np.random.RandomState(7)
+    u_prev = jnp.asarray(rng.randn(Ts - 1, 5) * 0.1, jnp.float32)
+    state = jnp.zeros(5, jnp.float32).at[1].set(float(course[0, 1]))
+    ref = jnp.asarray(course[:Ts, :2], jnp.float32)
+    scal = pack_scalars(jnp.float32(0.1), cp, 0.0, mp, lam=float(sp.lam))
+    rows = tile_rows(Ts, 5, True, Ks)
+    noise = tile_noise(
+        jnp.asarray(rng.randn(Ts - 1, Ks, 5), jnp.float32),
+        padded_k(Ks, rows),
+    )
+    seed = jnp.zeros(1, jnp.int32)
+
+    def run(groups, accumulate, scal=scal):
+        kv = KernelVariant(groups=frozenset(groups))
+        return fused_sample_rollout_cost(
+            u_prev, sp.control_noise, sp.u_min, sp.u_max, ref, state, scal,
+            seed, num_samples=Ks, model="full_body", noise=noise,
+            interpret=True, accumulate=accumulate, variant=kv,
+        )
+
+    full_costs, full_u, full_s = run(
+        ("sample", "loop", "euler", "zmp", "dist"), True
+    )[:3]
+    assert float(jnp.sum(full_s)) > 0.0
+
+    for groups in (("sample",), ("sample", "loop"),
+                   ("sample", "loop", "euler")):
+        costs, u_rows, s_row = run(groups, False)[:3]
+        np.testing.assert_array_equal(np.asarray(costs), 0.0, err_msg=str(groups))
+        np.testing.assert_array_equal(np.asarray(u_rows), 0.0)
+
+    # +dist == production costs bit-exactly (acc skipped)
+    costs_d = run(("sample", "loop", "euler", "zmp", "dist"), False)[0]
+    np.testing.assert_array_equal(np.asarray(costs_d), np.asarray(full_costs))
+
+    # +zmp == production with the path term weighted to zero
+    import dataclasses
+
+    cp0 = dataclasses.replace(cp, path_weight=jnp.float32(0.0))
+    scal0 = pack_scalars(jnp.float32(0.1), cp0, 0.0, mp, lam=float(sp.lam))
+    costs_z = run(("sample", "loop", "euler", "zmp"), False)[0]
+    costs_p0 = run(("sample", "loop", "euler", "zmp", "dist"), False,
+                   scal=scal0)[0]
+    np.testing.assert_array_equal(np.asarray(costs_z), np.asarray(costs_p0))
+
+    # ablated groups are a full_body-only instrument
+    with pytest.raises(AssertionError):
+        fused_sample_rollout_cost(
+            u_prev[:, :2], sp.control_noise[:2], sp.u_min[:2], sp.u_max[:2],
+            ref, state[:3], scal, seed, num_samples=Ks, model="unicycle",
+            noise=None, interpret=True,
+            variant=KernelVariant(groups=frozenset({"sample"})),
+        )
