@@ -110,6 +110,63 @@ def device_arm(hz=500.0, seconds=60.0, num_samples=102_400, horizon=30,
     }
 
 
+def pipelined_arm(arms=((10.0, 1), (25.0, 1), (50.0, 1), (25.0, 4),
+                        (50.0, 8), (100.0, 16)),
+                  seconds=30.0, num_samples=102_400, horizon=30,
+                  use_kernel=True):
+    """The round-4 missing call-stack shape: the asynchronous pipelined host
+    loop (runtime/realtime.py run_pipelined_experiment). Each (hz, M) arm
+    paces sense->solve->actuate at hz with the solve for the next window
+    dispatched BEFORE this window's command fetch; M>1 streams M commands
+    per fetch for relay-bound transports. Reports miss accounting, fetch
+    percentiles, and closed-loop tracking. A final pair quantifies the
+    delay compensation (mppi_step(delay=1/hz)) against the naive
+    uncompensated pipeline at the same rate."""
+    import numpy as np
+
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.runtime.realtime import (
+        run_pipelined_experiment,
+    )
+
+    cfg, sp, cp, course = full_body_launch(num_samples=num_samples,
+                                           horizon=horizon)
+    out = []
+    for hz, mb in arms:
+        res = run_pipelined_experiment(
+            cfg, sp, cp, course, hz=hz, num_cycles=int(seconds * hz),
+            use_kernel=use_kernel, micro_batch=mb,
+        )
+        m = dict(res["metrics"])
+        m.pop("errors", None)
+        rs = res["rate_stats"]
+        row = {
+            "target_hz": hz, "micro_batch": mb, "seconds": seconds,
+            "rate_stats": {k: (round(v, 6) if isinstance(v, float) else v)
+                           for k, v in rs.items()},
+            "miss_rate": round(res["miss_rate"], 4),
+            "fetch_ms": {k: round(v, 2) for k, v in res["fetch_ms"].items()},
+            "feedback_latency_cycles": res["feedback_latency_cycles"],
+            "tracking": {k: round(float(v), 4) for k, v in m.items()},
+        }
+        out.append(row)
+        print(f"pipelined {hz} Hz M={mb}: miss={row['miss_rate']} "
+              f"fetch_p95={row['fetch_ms']['p95']}ms "
+              f"rmse={row['tracking'].get('rmse')}", flush=True)
+
+    # delay-compensation pays: same rate, naive vs compensated
+    comp = {}
+    for name, dc in (("compensated", True), ("naive", False)):
+        res = run_pipelined_experiment(
+            cfg, sp, cp, course, hz=25.0, num_cycles=int(seconds * 25),
+            use_kernel=use_kernel, micro_batch=1, delay_compensation=dc,
+        )
+        comp[name] = {"rmse": round(float(res["metrics"]["rmse"]), 4),
+                      "max_error": round(float(res["metrics"]["max_error"]), 4)}
+        print(f"delay-comp arm {name}: {comp[name]}", flush=True)
+    return out, comp
+
+
 def host_arm(rates=(10.0, 25.0, 50.0), seconds=30.0, num_samples=102_400,
              horizon=30, use_kernel=True):
     import numpy as np
@@ -153,6 +210,8 @@ def main():
     p.add_argument("--seconds", type=float, default=60.0)
     p.add_argument("--host-seconds", type=float, default=30.0)
     p.add_argument("--skip-host", action="store_true")
+    p.add_argument("--skip-device", action="store_true")
+    p.add_argument("--skip-pipelined", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -160,18 +219,38 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-    dev = device_arm(hz=args.hz, seconds=args.seconds)
+    dev = None if args.skip_device else device_arm(hz=args.hz,
+                                                   seconds=args.seconds)
     print("device arm:", json.dumps(dev, indent=1), flush=True)
+    piped, comp = ([], {}) if args.skip_pipelined else pipelined_arm(
+        seconds=args.host_seconds)
     hosts = [] if args.skip_host else host_arm(seconds=args.host_seconds)
+    prev = None
+    if args.skip_device or args.skip_host:
+        # partial refresh: carry the arms not re-run this invocation
+        path_prev = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts", "realtime_tpu.json")
+        if os.path.exists(path_prev):
+            with open(path_prev) as f:
+                prev = json.load(f)
+    if dev is None and prev:
+        dev = prev.get("device_resident_session")
+    if not hosts and prev:
+        hosts = prev.get("host_rate_ladder", [])
     out = {
         "device": str(jax.devices()[0]),
         "device_resident_session": dev,
-        "host_rate_ladder": hosts,
+        "pipelined_host_ladder": piped,
+        "delay_compensation_closed_loop": comp,
+        "host_rate_ladder_synchronous": hosts,
         "environment_note": (
-            "host arm runs through this container's TPU network relay "
-            "(~40-100 ms RTT per synchronous fetch); on co-located hardware "
-            "the host loop's ceiling approaches the device arm's sustained "
-            "rate"
+            "synchronous host arm pays this container's TPU network relay "
+            "RTT (~40-100 ms) on every cycle's fetch; the pipelined arm "
+            "dispatches the next solve before fetching the previous "
+            "command (plus M-cycle command streaming), hiding up to a full "
+            "window of RTT. On co-located hardware the host loop's ceiling "
+            "approaches the device arm's sustained rate"
         ),
     }
     path_out = os.path.join(

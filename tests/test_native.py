@@ -192,3 +192,49 @@ def test_realtime_experiment_holds_rate_and_tracks():
         out = run_realtime_experiment(cfg, sp, cp, course, hz=50.0, num_cycles=60)
         rs = out["rate_stats"]
     assert abs(rs["mean_dt"] - 0.02) < 0.006, rs
+
+
+def test_pipelined_loop_tracks_and_compensates_lag():
+    """run_pipelined_experiment (async depth-1 pipeline): dispatch n+1
+    before fetching n, one-cycle actuation lag compensated in-solver via
+    mppi_step(delay=1/hz). The compensated arm must track no worse than the
+    naive (uncompensated) pipelined arm, and both must complete the paced
+    schedule with miss accounting."""
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.runtime.realtime import (
+        run_pipelined_experiment,
+    )
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=256)
+    out_c = run_pipelined_experiment(
+        cfg, sp, cp, course, hz=50.0, num_cycles=100, delay_compensation=True
+    )
+    out_n = run_pipelined_experiment(
+        cfg, sp, cp, course, hz=50.0, num_cycles=100, delay_compensation=False
+    )
+    assert out_c["rate_stats"]["cycles"] == 100
+    assert out_c["metrics"]["rmse"] < 0.5
+    # the plan is consumed one cycle late in both arms; predicting the
+    # start state one period ahead must not hurt
+    assert out_c["metrics"]["rmse"] <= out_n["metrics"]["rmse"] * 1.05, (
+        out_c["metrics"]["rmse"], out_n["metrics"]["rmse"])
+
+
+def test_pipelined_micro_batch_streams_windows():
+    """micro_batch=M: one device interaction (and one fetch) per M-cycle
+    window; the window handoff predicts the end-of-window state so the plan
+    stream stays continuous. Tracking must stay tight despite the M-cycle
+    feedback latency."""
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.runtime.realtime import (
+        run_pipelined_experiment,
+    )
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=256)
+    out = run_pipelined_experiment(
+        cfg, sp, cp, course, hz=50.0, num_cycles=96, micro_batch=8
+    )
+    assert out["feedback_latency_cycles"] == 8
+    assert out["rate_stats"]["cycles"] == 96
+    assert len(out["fetch_ms"]) == 3 and out["fetch_ms"]["p95"] >= 0
+    assert out["metrics"]["rmse"] < 0.5, out["metrics"]
