@@ -226,6 +226,15 @@ def cmd_compare(args):
     for name, r in (("mppi", mppi), ("pure_pursuit", pp)):
         m = r["metrics"]
         print(f"{name}: RMSE={m['rmse']:.3f} max={m['max_error']:.3f}")
+    if args.plot:
+        from ccv_mppi_path_tracker_tpu.metrics.plots import (
+            plot_tracking_comparison,
+        )
+
+        plot_tracking_comparison(
+            {"MPPI": mppi, "Pure Pursuit": pp}, out=args.plot
+        )
+        print(f"wrote comparison figure {args.plot}")
     return 0
 
 

@@ -66,6 +66,115 @@ def plot_tracking(result: dict, out: str = None, label: str = "MPPI"):
     return fig
 
 
+_CMP_COLORS = ("red", "green", "blue", "orange")
+
+
+def plot_tracking_comparison(results: dict, out: str = None):
+    """TWO-RUN (or more) overlay figure — the reference's actual headline
+    comparison plot (src/graph2.py:37-41 overlays the with-steering and
+    without-steering runs on one Desired Path): (a) all trajectories over
+    the course, (b) |velocity| time series per run, (c) wheel steering
+    angles of the first steered run (graph2.py panel (c) plots one run's
+    left/right angles).
+
+    results: {label: result dict} from run_tracking_experiment /
+    run_pure_pursuit_experiment (insertion order = draw order). The course
+    is taken from the first result.
+    """
+    plt = _plt()
+    assert results, "need at least one run"
+    first = next(iter(results.values()))
+    course = first["course"]
+    fig, (ax1, ax2, ax3) = plt.subplots(3, 1, figsize=(9, 9))
+    ax1.plot(course[:, 0], course[:, 1], "b--", lw=2, label="Desired Path")
+    steered = None
+    for (label, r), color in zip(results.items(), _CMP_COLORS):
+        states = r["logs"]["state"]
+        ax1.plot(states[:, 0], states[:, 1], color=color, lw=2, label=label)
+        u0 = r["logs"].get("u0")
+        if u0 is None:
+            continue
+        n = len(states)
+        t = np.arange(len(u0)) * r["metrics"]["time"] / max(n - 1, 1)
+        ax2.plot(t, np.abs(u0[:, 0]), color=color, lw=2, label=label)
+        if steered is None and u0.shape[1] >= 3:
+            steered = (label, t, u0)
+    ax1.set_xlabel("X [m]"), ax1.set_ylabel("Y [m]")
+    ax1.legend(loc="lower right"), ax1.grid(True)
+    ax2.set_xlabel("Time [s]"), ax2.set_ylabel("Velocity [m/s]")
+    ax2.legend(loc="lower right"), ax2.grid(True)
+    if steered is not None:
+        from ccv_mppi_path_tracker_tpu.solver.command import wheel_steer_angles
+        import jax.numpy as jnp
+
+        label, t, u0 = steered
+        sl, sr = wheel_steer_angles(
+            jnp.asarray(u0[:, 0]), jnp.asarray(u0[:, 1]),
+            jnp.asarray(u0[:, 2]), 0.501,
+        )
+        ax3.plot(t, np.degrees(np.asarray(sl)), "b-", lw=2,
+                 label=f"Left Steering Angle ({label})")
+        ax3.plot(t, np.degrees(np.asarray(sr)), "r-", lw=2,
+                 label=f"Right Steering Angle ({label})")
+        ax3.set_ylabel("Angle [deg]")
+    else:
+        for (label, r), color in zip(results.items(), _CMP_COLORS):
+            u0 = r["logs"].get("u0")
+            if u0 is None:
+                continue
+            n = len(r["logs"]["state"])
+            t = np.arange(len(u0)) * r["metrics"]["time"] / max(n - 1, 1)
+            ax3.plot(t, u0[:, 1], color=color, lw=2, label=label)
+        ax3.set_ylabel("Angular Velocity [rad/s]")
+    ax3.set_xlabel("Time [s]")
+    ax3.legend(loc="lower right"), ax3.grid(True)
+    fig.tight_layout(pad=2.0)
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
+def plot_zmp_comparison(results: dict, zmp_params, dt: float = 0.1,
+                        out: str = None):
+    """Controlled-vs-uncontrolled lateral-ZMP overlay — the reference's
+    zmp_graph2.py run on its controlled / not_controlled CSVs (the archived
+    comparison PNGs log/full_body/robo_sym/{controlled,uncontrolled}.png):
+    each run's zmp_y time series inside the +/-0.15 m band, with a
+    |velocity| panel underneath.
+
+    results: {label: result dict} of FULL-BODY runs (needs logs.state 5-dim
+    and logs.u0 5-dim); the ZMP trace is recomputed from the executed
+    trajectory with models/full_body.py zmp_chain (the same model the
+    controller and the C++ oracle share).
+    """
+    plt = _plt()
+    from ccv_mppi_path_tracker_tpu.models.full_body import zmp_chain
+
+    fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 7))
+    for (label, r), color in zip(results.items(), _CMP_COLORS):
+        states = np.asarray(r["logs"]["state"])
+        u0 = np.asarray(r["logs"]["u0"])
+        n = min(len(states), len(u0) + 1)
+        # zmp_chain yields T-2 entries for T states (entry t reads u[t] and
+        # u[t+1], the reference's t < horizon_-2 loop)
+        zmp = np.asarray(zmp_chain(states[:n], u0[: n - 1], dt, zmp_params))
+        ax1.plot(np.arange(len(zmp)) * dt, zmp[:, 1], color=color, lw=2,
+                 label=label)
+        v = np.abs(u0[: n - 1, 0])
+        ax2.plot(np.arange(len(v)) * dt, v, color=color, lw=2, label=label)
+    for s in (+1, -1):
+        ax1.axhline(s * ZMP_BAND, color="k", ls="--", lw=1)
+    ax1.axhline(0.0, color="k", ls=":", lw=0.8)
+    ax1.set_ylabel("ZMP y [m]"), ax1.legend(loc="lower right"), ax1.grid(True)
+    ax1.set_ylim(-1.5 * ZMP_BAND, 1.5 * ZMP_BAND)
+    ax2.set_xlabel("Time [s]"), ax2.set_ylabel("Velocity [m/s]")
+    ax2.legend(loc="lower right"), ax2.grid(True)
+    fig.tight_layout(pad=2.0)
+    if out:
+        fig.savefig(out, dpi=120)
+    return fig
+
+
 def path_yaw(course):
     """Central-difference heading along a course (src/graph3.py:26-32).
 

@@ -230,3 +230,46 @@ def test_cli_run_animate(tmp_path):
     assert rc == 0
     html = open(out).read()
     assert "animation" in html.lower() and len(html) > 10_000
+
+
+def test_comparison_overlay_plots(tmp_path):
+    """Two-run overlay figures (the reference's graph2.py:37-41 /
+    zmp_graph2.py comparison plots): both render from run results of
+    different lengths, steered + unsteered and controlled + uncontrolled."""
+    import numpy as np
+
+    from ccv_mppi_path_tracker_tpu.core.presets import (
+        diff_drive_launch,
+        full_body_launch,
+        steering_launch,
+    )
+    from ccv_mppi_path_tracker_tpu.metrics.plots import (
+        plot_tracking_comparison,
+        plot_zmp_comparison,
+    )
+    from ccv_mppi_path_tracker_tpu.models.full_body import default_params
+    from ccv_mppi_path_tracker_tpu.runtime import run_tracking_experiment
+
+    scfg, ssp, scp, course = steering_launch(num_samples=64, horizon=8)
+    steered = run_tracking_experiment(scfg, ssp, scp, course, num_steps=25)
+    dcfg, dsp, dcp, _ = diff_drive_launch(num_samples=64, horizon=8)
+    unsteered = run_tracking_experiment(dcfg, dsp, dcp, course, num_steps=30)
+    f1 = plot_tracking_comparison(
+        {"With Steering Robot": steered, "Without Steering Robot": unsteered},
+        out=str(tmp_path / "cmp.png"),
+    )
+    assert (tmp_path / "cmp.png").exists()
+    assert len(f1.axes) == 3
+
+    fcfg, fsp, fcp, fcourse = full_body_launch(num_samples=64, horizon=8,
+                                               roll_off=False)
+    a = run_tracking_experiment(fcfg, fsp, fcp, fcourse, num_steps=25)
+    ucfg, usp, ucp, _ = full_body_launch(num_samples=64, horizon=8,
+                                         roll_off=True)
+    b = run_tracking_experiment(ucfg, usp, ucp, fcourse, num_steps=30)
+    f2 = plot_zmp_comparison(
+        {"Controlled": a, "Not Controlled": b}, default_params(np.float32),
+        out=str(tmp_path / "zmp_cmp.png"),
+    )
+    assert (tmp_path / "zmp_cmp.png").exists()
+    assert len(f2.axes) == 2
