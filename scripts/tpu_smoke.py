@@ -274,6 +274,24 @@ def main():
         {"max_abs_err": erre, "thresh_xla": te, "thresh_kernel": tk},
     )
 
+    # --- 8. warm-compile-time bound (VERDICT r4 weak #2) -------------------
+    # A fresh jit wrapper of an already-compiled program must come back from
+    # the persistent compilation cache in seconds — a multi-minute "compile"
+    # here is the documented remote-compile relay wedge and should fail the
+    # smoke run loudly instead of silently polluting artifacts (the
+    # compile_s=2203 s outlier committed in round 4's ab_tloop2.json).
+    t0 = time.perf_counter()
+    step_fresh = jax.jit(
+        lambda c, s, n: mppi_step(
+            cfgm, c, s, pathm, dt, spm, cpm, noise=n,
+            use_kernel=True, kernel_interpret=False,
+        )
+    )
+    step_fresh.lower(ctrlm, statem, noisem).compile()
+    warm_s = time.perf_counter() - t0
+    record("warm_compile_bound", warm_s < 60.0, {"warm_compile_s": round(warm_s, 2),
+                                                 "bound_s": 60.0})
+
     report["ok"] = not failures
     report["failures"] = failures
     out = json.dumps(report, indent=2)
