@@ -61,7 +61,23 @@ def test_completion_truncation():
     xy = np.stack([np.linspace(0, 12, 121), np.zeros(121)], axis=-1)
     n, completed = qm.truncate_at_completion(xy, course)
     assert completed
-    # first sample within 0.5 m of (10, 0): x = 9.6 at index 96
-    assert n == 97
+    # the docstring criterion (ADVICE r4): the first sample whose NEAREST
+    # course point is the final one AND that is within 0.5 m of it —
+    # x = 9.96 at index 100, not merely the first sample within 0.5 m
+    assert n == 101
     n2, completed2 = qm.truncate_at_completion(xy[:50], course)
     assert not completed2 and n2 == 50
+
+
+def test_completion_truncation_self_near_course():
+    """A course whose early segment passes near its own ENDPOINT must not
+    truncate there (the ADVICE r4 failure mode): an out-and-back course
+    where the start is 0.3 m from the endpoint."""
+    fwd = np.stack([np.linspace(0, 5, 51), np.zeros(51)], axis=-1)
+    back = np.stack([np.linspace(5, 0.0, 50), np.full(50, 0.3)], axis=-1)
+    course = np.concatenate([fwd, back])
+    xy = np.concatenate([fwd, back])  # perfect tracking of the whole loop
+    n, completed = qm.truncate_at_completion(xy, course)
+    assert completed
+    # must run to the actual end, not cut at the start (0.3 m from (0,0.3))
+    assert n == len(xy), n
