@@ -242,17 +242,30 @@ def cmd_realtime(args):
     """Wall-clock fixed-rate run with the native scheduler + recorder."""
     import os
 
-    from ccv_mppi_path_tracker_tpu.runtime.realtime import run_realtime_experiment
+    from ccv_mppi_path_tracker_tpu.runtime.realtime import (
+        run_pipelined_experiment,
+        run_realtime_experiment,
+    )
 
     cfg, sp, cp, course = _resolve(args)
     rec = None
     if args.record:
         os.makedirs(args.record, exist_ok=True)
         rec = os.path.join(args.record, f"{args.preset}_realtime.csv")
-    out = run_realtime_experiment(
-        cfg, sp, cp, course, hz=args.hz, num_cycles=args.steps,
-        record_path=rec, use_kernel=_kernel_choice(args, cfg),
-    )
+    if args.pipelined or args.micro_batch > 1:
+        out = run_pipelined_experiment(
+            cfg, sp, cp, course, hz=args.hz, num_cycles=args.steps,
+            use_kernel=_kernel_choice(args, cfg),
+            micro_batch=args.micro_batch,
+        )
+        fm = out["fetch_ms"]
+        print(f"pipelined: micro_batch={args.micro_batch} "
+              f"fetch p95 {fm['p95']:.2f} ms (max {fm['max']:.2f})")
+    else:
+        out = run_realtime_experiment(
+            cfg, sp, cp, course, hz=args.hz, num_cycles=args.steps,
+            record_path=rec, use_kernel=_kernel_choice(args, cfg),
+        )
     m, rs = out["metrics"], out["rate_stats"]
     print(f"Time: {round(m['time'], 1)}")
     print(f"Max Error: {round(m['max_error'], 3)}")
@@ -448,6 +461,13 @@ def main(argv=None):
     )
     _add_run_args(prt)
     prt.add_argument("--hz", type=float, default=10.0)
+    prt.add_argument("--pipelined", action="store_true",
+                     help="asynchronous depth-1 pipelined loop: dispatch "
+                          "cycle n+1 before fetching cycle n's command, "
+                          "actuation lag compensated in-solver (delay=1/hz)")
+    prt.add_argument("--micro-batch", type=int, default=1,
+                     help="stream this many commands per device fetch "
+                          "(device-resident scan window; implies --pipelined)")
     prt.set_defaults(fn=cmd_realtime)
 
     pf = sub.add_parser("fleet", help="batched multi-robot serving demo")
