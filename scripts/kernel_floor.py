@@ -195,8 +195,19 @@ def main():
         },
         "compile_s": compile_s,
         "device": str(jax.devices()[0]),
-        "verdict": "FILLED IN BY THE COMMITTED ARTIFACT",
     }
+    ranked = sorted(((v, n) for n, v in groups_ms.items()), reverse=True)
+    top = ", ".join(f"{n} {v:.2f} ms ({pct[n]}%)" for v, n in ranked[:3])
+    out["verdict"] = (
+        f"Positive accounting at K={K} T={T}: the production kernel "
+        f"measures {out['kernel_ms']} ms and the full lean step "
+        f"{out['full_step_ms']} ms in the same window; the three largest "
+        f"op groups are {top}. Group increments come from progressive "
+        f"re-enabling on a probe-anchored no-op body (never subtraction "
+        f"from full) and telescope to the kernel arm by construction; "
+        f"the kernel accounts for "
+        f"{round(100 * kernel_ms / step_ms, 1)}% of the step."
+    )
     with open(args.out, "w") as fobj:
         json.dump(out, fobj, indent=1)
     print(json.dumps(out, indent=1))
