@@ -382,8 +382,11 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             return vals
 
         # regen never touches the u_out scratch: the rollout draws controls
-        # on the fly and the update loop regenerates the same stream
-        for t in range(0 if regen else tm1):
+        # on the fly and the update loop regenerates the same stream.
+        # costs_in (the elite second pass) skips the sampling loop too —
+        # with no rollout, each control is consumed exactly once by the
+        # update, so it is drawn inline there (same stream, no scratch).
+        for t in range(0 if (regen or costs_in) else tm1):
             for j in range(u_dim):
                 if with_noise_input:
                     eta = nz(t, j)
@@ -727,11 +730,36 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
             # reset the per-tile PRNG and regenerate the identical control
             # stream the rollout consumed — no u_out reads anywhere
             pltpu.prng_seed(seed0 + kidx)
+        if costs_in:
+            # Elite second pass: regenerate pass 1's EXACT sampling stream
+            # inline — same (t, j) order, same held-over Box-Muller halves,
+            # same colored-noise recurrence — multiply by the weight and
+            # fold straight into the accumulators. The u_out VMEM round
+            # trip (write in a sampling loop, read back here) is gone
+            # entirely; unlike the rollout-bearing 'regen' arm (a measured
+            # loss, ab_tloop2 — the rollout reads each control twice) this
+            # pass consumes each control exactly once. Bit-identical to
+            # the scratch path by construction.
+            if not with_noise_input:
+                draw_inline = _make_normal_stream((_ROWS, _LANES))
+            eps_prev_in = [None] * u_dim
         for t in range(tm1):
             u_row = draw_u_row(t) if regen else None
             for j in range(u_dim):
                 r = t * u_dim + j
-                u_tj = u_row[j] if regen else u_out[t, j]
+                if costs_in:
+                    eta = nz(t, j) if with_noise_input else draw_inline()
+                    eps = (eta if t == 0
+                           else beta * eps_prev_in[j] + bscale * eta)
+                    eps_prev_in[j] = eps
+                    u_tj = up(t, j) + sigma[j] * eps
+                    u_tj = jnp.clip(u_tj, umin[j], umax[j])
+                    if steer_off and j == 2:
+                        u_tj = jnp.zeros_like(u_tj)
+                elif regen:
+                    u_tj = u_row[j]
+                else:
+                    u_tj = u_out[t, j]
                 wu = w * u_tj
                 accv[8 * r:8 * (r + 1), :] = (
                     accv[8 * r:8 * (r + 1), :] * factor + part8(wu)
@@ -951,7 +979,10 @@ def fused_sample_rollout_cost(
         out_shape = out_shape[1:]
         out_specs = out_specs[1:]
     scratch_shapes = [
-        pltpu.VMEM((tm1, u_dim, rows, _LANES), jnp.float32),  # sampled u tile
+        # sampled u tile; the costs_in pass never touches it (controls are
+        # regenerated inline in the update loop), so it shrinks to a stub
+        pltpu.VMEM((tm1, u_dim, rows, _LANES) if costs_in is None
+                   else (1, 1, 8, _LANES), jnp.float32),
         pltpu.SMEM((1,), jnp.float32),  # running min cost
     ]
 

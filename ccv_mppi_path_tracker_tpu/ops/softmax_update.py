@@ -98,6 +98,7 @@ def softmax_weights(
     lam,
     axis_name: Optional[str] = None,
     elite_frac: Optional[float] = None,
+    elite_thresh=None,
 ):
     """Globally-normalized importance weights from per-sample costs.
 
@@ -111,6 +112,13 @@ def softmax_weights(
         exactly vanilla MPPI. Works sharded: the threshold radix select spans
         all shards and matches single-device bit-exactly. The threshold is
         reported in stats["elite_thresh"].
+
+    elite_thresh: optional EXTERNALLY supplied mask threshold (a traced
+        scalar) — the single-pass stale-threshold elite mode: weights are
+        masked at THIS value (pass +inf for an unmasked cycle) while
+        stats["elite_thresh"] still reports the exact rank threshold of the
+        CURRENT costs (from ``elite_frac``) for the caller to feed back in
+        next cycle.
     """
     baseline = jnp.min(costs)
     if axis_name is not None:
@@ -119,7 +127,9 @@ def softmax_weights(
     thresh = None
     if elite_frac is not None:
         thresh = elite_threshold(costs, elite_frac, axis_name=axis_name)
-        unnorm = jnp.where(costs <= thresh, unnorm, 0.0)
+    mask_at = elite_thresh if elite_thresh is not None else thresh
+    if mask_at is not None:
+        unnorm = jnp.where(costs <= mask_at, unnorm, 0.0)
     denom = jnp.sum(unnorm)
     if axis_name is not None:
         denom = jax.lax.psum(denom, axis_name)

@@ -54,15 +54,25 @@ def build_simulate_scan(
     """
     if plant is None:
         plant = Plant(model_name=cfg.model)
-    solver_options = solver_options or {}
+    solver_options = dict(solver_options or {})
+    # single-pass stale-threshold elite (solver/mppi.py elite_stale_thresh):
+    # the scan carry threads each cycle's exact rank threshold into the
+    # next cycle's weight mask; cycle 0 runs unmasked (+inf)
+    elite_stale = solver_options.pop("elite_stale", False)
+    assert not elite_stale or solver_options.get("elite_frac") is not None
 
     def sim(ctrl, state0, path, dt, sp, cp, model_params=None):
         def body(carry, _):
-            ctrl, state = carry
+            if elite_stale:
+                ctrl, state, thresh = carry
+                opts = dict(solver_options, elite_stale_thresh=thresh)
+            else:
+                ctrl, state = carry
+                opts = solver_options
             plant_key = jax.random.fold_in(ctrl.key, 1)
             ctrl, res = mppi_step(
                 cfg, ctrl, state, path, dt, sp, cp, model_params=model_params,
-                use_kernel=use_kernel, **solver_options,
+                use_kernel=use_kernel, **opts,
             )
             state = plant.step(plant_key, state, res.u0, dt)
             log = {"state": state, "u0": res.u0}
@@ -71,9 +81,14 @@ def build_simulate_scan(
             if with_paths:
                 log["opt_xy"] = res.opt_states[..., :2]
                 log["ref_xy"] = res.ref.xy
-            return (ctrl, state), log
+            carry = ((ctrl, state, res.stats["elite_thresh"]) if elite_stale
+                     else (ctrl, state))
+            return carry, log
 
-        (ctrl, _), logs = jax.lax.scan(body, (ctrl, state0), None, length=num_steps)
+        carry0 = (ctrl, state0)
+        if elite_stale:
+            carry0 = carry0 + (jnp.asarray(jnp.inf, state0.dtype),)
+        (ctrl, *_), logs = jax.lax.scan(body, carry0, None, length=num_steps)
         return ctrl, logs
 
     return jax.jit(sim)

@@ -174,6 +174,7 @@ def run_pipelined_experiment(
     use_kernel: bool = False,
     micro_batch: int = 1,
     delay_compensation: bool = True,
+    seed: int = 0,
 ):
     """Asynchronous pipelined serving loop (the round-4 missing call-stack
     shape): cycle n DISPATCHES the solve for cycle n+1 before FETCHING
@@ -231,7 +232,7 @@ def run_pipelined_experiment(
     # faster than the rollout step, as the device-resident session does).
     dt_solve = _jnp.float32(0.1)
     make_ctrl = lambda: ControllerState.initial(
-        jax.random.PRNGKey(0), cfg.horizon, model.num_controls
+        jax.random.PRNGKey(seed), cfg.horizon, model.num_controls
     )
 
     if micro_batch == 1:

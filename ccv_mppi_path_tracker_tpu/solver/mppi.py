@@ -67,6 +67,7 @@ def mppi_step(
     shift_warm_start: bool = False,
     delay: Optional[float] = None,
     elite_frac: Optional[float] = None,
+    elite_stale_thresh=None,
     lean: bool = False,
 ):
     """Run one MPPI control cycle. Returns (next ControllerState, StepResult).
@@ -120,6 +121,20 @@ def mppi_step(
         ops/softmax_update.py elite_threshold) and fused-kernel (a second
         kernel pass re-accumulates the update with the sub-threshold mask;
         the per-tile PRNG reseed makes the regenerated samples identical).
+    elite_stale_thresh: SINGLE-PASS elite mode (opt-in, a behavioral
+        extension — defaults off per the reference-semantics contract):
+        a traced scalar cost threshold at which THIS cycle's weights are
+        masked, normally the previous cycle's exact rank threshold
+        (stats["elite_thresh"], which always reports the current costs'
+        exact ``elite_frac`` threshold for feeding back). Pass +inf for an
+        unmasked first cycle. Cuts the elite kernel flow from two passes +
+        select to one pass + select (~1.4x -> ~1.0x vanilla cost at K=1M;
+        artifacts/ab_elite.json) at the price of a one-cycle-stale elite
+        set — in closed loop the cost distribution moves slowly, so the
+        masked fraction tracks elite_frac closely. Requires elite_frac
+        (used to compute the threshold reported for the next cycle).
+        ``build_simulate_scan(solver_options={"elite_frac": f,
+        "elite_stale": True})`` threads it through the scan carry.
     lean: serving mode — return a StepResult carrying only the actuation
         outputs (u_opt, u0; ref/opt_states None, stats empty except
         sigma_suggest when adapt_sigma). u_opt/u0 are bit-identical to the
@@ -149,19 +164,26 @@ def mppi_step(
 
     ref = resample_reference(path, state[:2], cp.v_ref, dt, cfg.horizon)
 
+    assert elite_stale_thresh is None or elite_frac is not None, (
+        "elite_stale_thresh requires elite_frac (for the next threshold)"
+    )
     if use_kernel:
         costs, u_rows, s_row, u2_rows = _kernel_sample_rollout_cost(
             cfg, u_mean, state, ref, dt, sp, cp, model_params, use_key, noise,
             k_local, kernel_interpret, axis_name, second_moment=adapt_sigma,
-            # with elite_frac this first pass only finds the threshold — its
-            # update accumulation would be discarded, so skip it in-kernel
-            accumulate=elite_frac is None,
+            # with (two-pass) elite_frac this first pass only finds the
+            # threshold — its update accumulation would be discarded, so
+            # skip it in-kernel; the stale-threshold single-pass mode
+            # accumulates here directly, masked at the stale threshold
+            accumulate=elite_frac is None or elite_stale_thresh is not None,
+            cost_thresh=elite_stale_thresh,
             variant=kernel_variant,
         )
         _, stats = softmax_weights(
-            costs, sp.lam, axis_name=axis_name, elite_frac=elite_frac
+            costs, sp.lam, axis_name=axis_name, elite_frac=elite_frac,
+            elite_thresh=elite_stale_thresh,
         )
-        if elite_frac is not None:
+        if elite_frac is not None and elite_stale_thresh is None:
             # Second pass: identical samples (per-tile PRNG reseed / same
             # injected noise), update accumulated only over the elites.
             # COSTS-FREE: pass 1's per-sample costs stream back in, so this
@@ -233,7 +255,8 @@ def mppi_step(
 
     costs = trajectory_costs(cfg.model, states, u_samples, aux, ref, cp)
     weights, stats = softmax_weights(
-        costs, sp.lam, axis_name=axis_name, elite_frac=elite_frac
+        costs, sp.lam, axis_name=axis_name, elite_frac=elite_frac,
+        elite_thresh=elite_stale_thresh,
     )
     if debug_candidates:
         stats["candidates"] = jnp.transpose(
@@ -259,10 +282,14 @@ def mppi_step(
 
 
 def _lean_result(u_opt, stats, adapt_sigma):
-    """Serving-mode StepResult: actuation outputs only (see ``lean``)."""
+    """Serving-mode StepResult: actuation outputs only (see ``lean``) —
+    plus the feedback scalars a serving loop must thread into the next
+    cycle (adaptive sigma; the stale-elite threshold)."""
     keep = {}
     if adapt_sigma:
         keep["sigma_suggest"] = stats["sigma_suggest"]
+    if "elite_thresh" in stats:
+        keep["elite_thresh"] = stats["elite_thresh"]
     return StepResult(
         u_opt=u_opt, u0=u_opt[0], ref=None, opt_states=None, stats=keep
     )

@@ -274,6 +274,28 @@ def main():
         {"max_abs_err": erre, "thresh_xla": te, "thresh_kernel": tk},
     )
 
+    # --- 7b. elite second pass regenerates pass 1's exact RNG stream -------
+    # With elite_frac=1.0 the rank threshold is the max cost, so the
+    # two-pass flow must reproduce the vanilla single-pass update
+    # BIT-EXACTLY in RNG mode — the strongest possible check that the
+    # costs-free second pass (which now draws the stream inline in its
+    # update loop, no u_out scratch) regenerates the identical samples.
+    _, rv = jax.jit(
+        lambda c, s: mppi_step(
+            cfgm, c, s, pathm, dt, spm, cpm,
+            use_kernel=True, kernel_interpret=False,
+        )
+    )(ctrlm, statem)
+    _, re1 = jax.jit(
+        lambda c, s: mppi_step(
+            cfgm, c, s, pathm, dt, spm, cpm, elite_frac=1.0,
+            use_kernel=True, kernel_interpret=False,
+        )
+    )(ctrlm, statem)
+    d_regen = float(jnp.max(jnp.abs(rv.u_opt - re1.u_opt)))
+    record("elite_pass2_stream_bitexact", d_regen == 0.0,
+           {"max_abs_diff_vs_vanilla": d_regen})
+
     # --- 8. warm-compile-time bound (VERDICT r4 weak #2) -------------------
     # A fresh jit wrapper of an already-compiled program must come back from
     # the persistent compilation cache in seconds — a multi-minute "compile"

@@ -195,11 +195,12 @@ def test_realtime_experiment_holds_rate_and_tracks():
 
 
 def test_pipelined_loop_tracks_and_compensates_lag():
-    """run_pipelined_experiment (async depth-1 pipeline): dispatch n+1
-    before fetching n, one-cycle actuation lag compensated in-solver via
-    mppi_step(delay=1/hz). The compensated arm must track no worse than the
-    naive (uncompensated) pipelined arm, and both must complete the paced
-    schedule with miss accounting."""
+    """run_pipelined_experiment (async pipeline): dispatch the next window
+    before fetching this one's commands. The lag-compensation claim is
+    asserted where it is robust — the micro_batch window handoff, whose
+    model prediction bridges an M-cycle feedback latency (at depth-1 the
+    one-cycle lag is benign at these operating points and the arms tie;
+    both regimes are measured honestly in artifacts/realtime_tpu.json)."""
     from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
     from ccv_mppi_path_tracker_tpu.runtime.realtime import (
         run_pipelined_experiment,
@@ -207,16 +208,18 @@ def test_pipelined_loop_tracks_and_compensates_lag():
 
     cfg, sp, cp, course = diff_drive_launch(num_samples=256)
     out_c = run_pipelined_experiment(
-        cfg, sp, cp, course, hz=50.0, num_cycles=100, delay_compensation=True
+        cfg, sp, cp, course, hz=50.0, num_cycles=96, micro_batch=8,
+        delay_compensation=True,
     )
     out_n = run_pipelined_experiment(
-        cfg, sp, cp, course, hz=50.0, num_cycles=100, delay_compensation=False
+        cfg, sp, cp, course, hz=50.0, num_cycles=96, micro_batch=8,
+        delay_compensation=False,
     )
-    assert out_c["rate_stats"]["cycles"] == 100
+    assert out_c["rate_stats"]["cycles"] == 96
     assert out_c["metrics"]["rmse"] < 0.5
-    # the plan is consumed one cycle late in both arms; predicting the
-    # start state one period ahead must not hurt
-    assert out_c["metrics"]["rmse"] <= out_n["metrics"]["rmse"] * 1.05, (
+    # predicting the plant across the 8-cycle window must beat dispatching
+    # the next window from the (8-cycles-stale) window-start state
+    assert out_c["metrics"]["rmse"] < out_n["metrics"]["rmse"], (
         out_c["metrics"]["rmse"], out_n["metrics"]["rmse"])
 
 

@@ -531,3 +531,79 @@ def test_autotune_device_kind_and_calibration(tmp_path):
         1000, 15, None, kind="TPU v9", measure=boom,
         cache_file=str(tmp_path / "other.json"),
     )
+
+
+def test_elite_stale_thresh_single_pass():
+    """Single-pass stale-threshold elite (opt-in): masking this cycle at an
+    externally supplied threshold. stale=+inf must equal vanilla exactly;
+    stale = the cycle's own exact rank threshold must equal the two-pass
+    elite flow exactly — on the XLA path and the fused kernel (injected
+    noise, interpret mode)."""
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+
+    K, T = 1024, 8
+    cfg, sp, cp, course = full_body_launch(num_samples=K, horizon=T)
+    path = PathBuffer.from_points(course, 0.1)
+    ctrl = ControllerState.initial(jax.random.PRNGKey(3), T, 5)
+    state = jnp.zeros(5, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(np.random.RandomState(9).randn(T - 1, K, 5),
+                        jnp.float32)
+    dt = jnp.float32(0.1)
+    for kernel in (False, True):
+        kw = dict(noise=noise, use_kernel=kernel,
+                  kernel_interpret=kernel or None)
+        _, vanilla = mppi_step(cfg, ctrl, state, path, dt, sp, cp, **kw)
+        _, two_pass = mppi_step(cfg, ctrl, state, path, dt, sp, cp,
+                                elite_frac=0.25, **kw)
+        _, stale_inf = mppi_step(cfg, ctrl, state, path, dt, sp, cp,
+                                 elite_frac=0.25,
+                                 elite_stale_thresh=jnp.inf, **kw)
+        np.testing.assert_array_equal(np.asarray(stale_inf.u_opt),
+                                      np.asarray(vanilla.u_opt))
+        t_exact = two_pass.stats["elite_thresh"]
+        _, stale_t = mppi_step(cfg, ctrl, state, path, dt, sp, cp,
+                               elite_frac=0.25,
+                               elite_stale_thresh=t_exact, **kw)
+        np.testing.assert_array_equal(np.asarray(stale_t.u_opt),
+                                      np.asarray(two_pass.u_opt),
+                                      err_msg=f"kernel={kernel}")
+        # the stats still report the CURRENT cycle's exact threshold
+        assert float(stale_t.stats["elite_thresh"]) == float(t_exact)
+
+
+def test_elite_stale_scan_threads_threshold():
+    """build_simulate_scan(solver_options={'elite_frac':..,
+    'elite_stale': True}): cycle 0 runs unmasked, cycle 1 is masked at
+    cycle 0's exact threshold — verified against a manual composition."""
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.runtime.loop import build_simulate_scan
+    from ccv_mppi_path_tracker_tpu.runtime.plant import Plant
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=256, horizon=8)
+    path = PathBuffer.from_points(course, 0.1)
+    state0 = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    dt = jnp.float32(0.1)
+    sim = build_simulate_scan(
+        cfg, num_steps=2,
+        solver_options={"elite_frac": 0.25, "elite_stale": True},
+    )
+    ctrl0 = ControllerState.initial(jax.random.PRNGKey(0), 8, 2)
+    _, logs = sim(ctrl0, state0, path, dt, sp, cp)
+
+    plant = Plant(model_name=cfg.model)
+    ctrl, res0 = mppi_step(cfg, ctrl0, state0, path, dt, sp, cp,
+                           elite_frac=0.25,
+                           elite_stale_thresh=jnp.inf)
+    s1 = plant.step(jax.random.fold_in(ctrl0.key, 1), state0, res0.u0, dt)
+    _, res1 = mppi_step(cfg, ctrl, s1, path, dt, sp, cp, elite_frac=0.25,
+                        elite_stale_thresh=res0.stats["elite_thresh"])
+    # jitted-scan vs eager composition: identical math, fusion-level
+    # rounding only
+    np.testing.assert_allclose(np.asarray(logs["u0"][0]),
+                               np.asarray(res0.u0), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(logs["u0"][1]),
+                               np.asarray(res1.u0), rtol=1e-6, atol=1e-7)
