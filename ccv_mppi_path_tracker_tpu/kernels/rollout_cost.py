@@ -109,6 +109,9 @@ class KernelVariant(NamedTuple):
         be 0 — enforced where it is statically known).
       - "half2" (full_body only): two independent half-tile chains through
         one t-loop so one chain's VPU work hides the other's latency.
+      - "carry5" (full_body only): carry step t+1's five control tiles in
+        registers so each iteration issues 5 dynamic-indexed u_out reads
+        instead of 7 (bit-exact vs fori).
       All measured same-window at K=1M T=30: artifacts/ab_tloop2.json.
 
     dist_form — "expanded" (3-op centered expanded form, production) |
@@ -666,6 +669,26 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                     # sample-only ablation arm: no t-loop at all; one probe
                     # -anchored read keeps the sampled scratch alive
                     cost += probe * u_out[0, 0]
+                elif variant.tloop == "carry5":
+                    # A/B arm: carry step t+1's five control tiles in
+                    # registers across iterations so each iteration issues
+                    # 5 dynamic-indexed u_out reads instead of 7 (the two
+                    # t+1 reads were re-read at t+1 anyway). Same values,
+                    # same op order — bit-exact vs fori.
+                    def fb_body_c(t, carry):
+                        x, y, yaw, roll, pitch, cost = carry[:6]
+                        u_t = carry[6:]
+                        u_next = tuple(u_out[t + 1, j] for j in range(u_dim))
+                        out = fb_step(x, y, yaw, roll, pitch, cost, u_t,
+                                      u_next[0], u_next[3])
+                        return out + u_next
+
+                    u0 = tuple(u_out[0, j] for j in range(u_dim))
+                    out = jax.lax.fori_loop(
+                        0, horizon - 2, fb_body_c,
+                        (x, y, yaw, roll, pitch, cost) + u0,
+                    )
+                    x, y, yaw, roll, pitch, cost = out[:6]
                 else:
                     def fb_body(t, carry):
                         x, y, yaw, roll, pitch, cost = carry

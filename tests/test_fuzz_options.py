@@ -108,6 +108,12 @@ def test_option_combination_kernel_matches_xla(trial):
             np.asarray(xla.stats["sigma_suggest"]),
             rtol=2e-4, atol=2e-5, err_msg=msg,
         )
-        assert set(ker_lean.stats) == {"sigma_suggest"}
+        # lean keeps only the serving feedback scalars: sigma_suggest, and
+        # the elite threshold when elite_frac is on (fed forward by the
+        # stale single-pass mode)
+        expect = {"sigma_suggest"}
+        if elite_frac is not None:
+            expect.add("elite_thresh")
+        assert set(ker_lean.stats) == expect
     if steer_off:
         np.testing.assert_array_equal(np.asarray(ker.u_opt[:, 2]), 0.0)

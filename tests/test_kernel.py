@@ -278,6 +278,7 @@ def test_kernel_variant_arms_match_default():
         (KernelVariant(tloop="unroll"), True),
         (KernelVariant(tloop="block4"), True),
         (KernelVariant(tloop="half2"), True),
+        (KernelVariant(tloop="carry5"), True),
     ]
     for kv, exact in arms:
         _, res = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
