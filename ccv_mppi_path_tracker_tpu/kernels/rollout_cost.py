@@ -920,7 +920,7 @@ def fused_sample_rollout_cost(
             smem(), smem(), smem(),      # sigma, u_min, u_max (shared)
             sblk((num_ref, 3)),          # centered-ref constants
             sblk((1, state0.shape[-1])), # state0
-            sblk((1, _NSCAL + 1)),       # scal (+ num_valid)
+            sblk((1, _NSCAL + 2)),       # scal (+ probe, num_valid)
             sblk((1, 1)),                # seed
         ]
     else:
