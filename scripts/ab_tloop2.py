@@ -160,6 +160,16 @@ def main():
     path_out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "artifacts", "ab_tloop2.json")
+    # MERGE into the committed artifact: a partial --arms run must not
+    # clobber previously measured arms (or their annotations)
+    if os.path.exists(path_out):
+        with open(path_out) as f:
+            prev = json.load(f)
+        if (prev.get("num_samples"), prev.get("horizon")) == (K, T):
+            prev["checks"].update(out["checks"])
+            prev["results"].update(out["results"])
+            prev["device"] = out["device"]
+            out = prev
     with open(path_out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
