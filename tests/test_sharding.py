@@ -193,3 +193,27 @@ def test_sharded_kernel_elite_matches_single_device_xla():
         float(res2.stats["elite_thresh"]), float(res1.stats["elite_thresh"]),
         rtol=1e-5,
     )
+
+
+def test_sharded_elite_stale_matches_single_device():
+    """Single-pass stale-threshold elite under shard_map: at a FIXED stale
+    threshold the sharded masked update must match single-device
+    bit-tightly, and the reported next-cycle threshold (exact rank select
+    over all shards) must be identical."""
+    cfg, sp, cp, path, ctrl, state = _setup(full_body_launch)
+    noise = jnp.asarray(np.random.RandomState(12).randn(T - 1, K, 5))
+    dt = jnp.asarray(0.1, jnp.float64)
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step as _step
+
+    opts = {"elite_frac": 0.25, "elite_stale_thresh": 40.0}
+    _, res1 = jax.jit(
+        lambda c, s, n: _step(cfg, c, s, path, dt, sp, cp, noise=n, **opts)
+    )(ctrl, state, noise)
+    mesh = samples_mesh(num_devices=8)
+    step8 = build_sharded_step(cfg, mesh, solver_options=opts)
+    _, res8 = step8(ctrl, state, path, dt, sp, cp, noise=noise)
+    np.testing.assert_allclose(
+        np.asarray(res8.u_opt), np.asarray(res1.u_opt), rtol=1e-12, atol=1e-14
+    )
+    assert float(res8.stats["elite_thresh"]) == float(
+        res1.stats["elite_thresh"])
