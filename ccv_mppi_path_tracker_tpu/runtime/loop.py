@@ -124,15 +124,31 @@ class ControlLoop:
         # path/params are traced arguments, not closures: a new course of the
         # same buffer capacity (the reference republishes /reference_path
         # every tick) or retuned weights swap in without recompiling.
-        opts = self.solver_options or {}
-        self._step = jax.jit(
-            lambda ctrl, state, path, dt, sp, cp: mppi_step(
-                self.cfg, ctrl, state, path, dt, sp, cp,
-                model_params=self.model_params,
-                adapt_sigma=self.sigma_adapt > 0,
-                **opts,
+        opts = dict(self.solver_options or {})
+        # single-pass stale-threshold elite (solver/mppi.py): the loop holds
+        # the threshold between cycles and threads it as a traced argument
+        self._elite_stale = opts.pop("elite_stale", False)
+        assert not self._elite_stale or opts.get("elite_frac") is not None
+        if self._elite_stale:
+            self._thresh = jnp.asarray(jnp.inf, jnp.float32)
+            self._step = jax.jit(
+                lambda ctrl, state, path, dt, sp, cp, thresh: mppi_step(
+                    self.cfg, ctrl, state, path, dt, sp, cp,
+                    model_params=self.model_params,
+                    adapt_sigma=self.sigma_adapt > 0,
+                    elite_stale_thresh=thresh,
+                    **opts,
+                )
             )
-        )
+        else:
+            self._step = jax.jit(
+                lambda ctrl, state, path, dt, sp, cp: mppi_step(
+                    self.cfg, ctrl, state, path, dt, sp, cp,
+                    model_params=self.model_params,
+                    adapt_sigma=self.sigma_adapt > 0,
+                    **opts,
+                )
+            )
         self._sigma0 = np.asarray(self.sp.control_noise)
         self._last_time = None
         model = get_model(self.cfg.model)
@@ -158,10 +174,17 @@ class ControlLoop:
         if dt is None:
             dt = self.measure_dt()
         state = jnp.asarray(state, dtype=self.ctrl.u_prev.dtype)
-        self.ctrl, res = self._step(
-            self.ctrl, state, self.path, jnp.asarray(dt, state.dtype),
-            self.sp, self.cp,
-        )
+        if self._elite_stale:
+            self.ctrl, res = self._step(
+                self.ctrl, state, self.path, jnp.asarray(dt, state.dtype),
+                self.sp, self.cp, self._thresh,
+            )
+            self._thresh = res.stats["elite_thresh"]
+        else:
+            self.ctrl, res = self._step(
+                self.ctrl, state, self.path, jnp.asarray(dt, state.dtype),
+                self.sp, self.cp,
+            )
         if self.sigma_adapt > 0:
             a = self.sigma_adapt
             sigma = (1 - a) * np.asarray(self.sp.control_noise) + a * np.asarray(

@@ -205,3 +205,38 @@ def test_rotate_force_to_base_matches_tf_basis():
     # single (unbatched) call
     one = rotate_force_to_base(jnp.asarray(forces[0]), jnp.asarray(rots[0]))
     np.testing.assert_allclose(np.asarray(one), rots[0] @ forces[0], rtol=1e-6)
+
+
+def test_control_loop_elite_stale_threads_threshold():
+    """ControlLoop(solver_options={'elite_frac':.., 'elite_stale': True}):
+    the loop holds the stale threshold between cycles — cycle 0 unmasked,
+    cycle 1 masked at cycle 0's exact threshold (manual composition)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import diff_drive_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+    from ccv_mppi_path_tracker_tpu.runtime.loop import ControlLoop
+    from ccv_mppi_path_tracker_tpu.solver import mppi_step
+
+    cfg, sp, cp, course = diff_drive_launch(num_samples=256, horizon=8)
+    path = PathBuffer.from_points(course, 0.1)
+    loop = ControlLoop(cfg=cfg, sp=sp, cp=cp, path=path,
+                       solver_options={"elite_frac": 0.25,
+                                       "elite_stale": True})
+    state = jnp.zeros(3, jnp.float32).at[1].set(float(course[0, 1]))
+    r0 = loop.step(state, dt=0.1)
+    r1 = loop.step(state, dt=0.1)
+
+    ctrl0 = ControllerState.initial(jax.random.PRNGKey(0), 8, 2)
+    ctrl, m0 = mppi_step(cfg, ctrl0, state, path, jnp.float32(0.1), sp, cp,
+                         elite_frac=0.25, elite_stale_thresh=jnp.inf)
+    _, m1 = mppi_step(cfg, ctrl, state, path, jnp.float32(0.1), sp, cp,
+                      elite_frac=0.25,
+                      elite_stale_thresh=m0.stats["elite_thresh"])
+    np.testing.assert_allclose(np.asarray(r0.u0), np.asarray(m0.u0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r1.u0), np.asarray(m1.u0),
+                               rtol=1e-6, atol=1e-7)
