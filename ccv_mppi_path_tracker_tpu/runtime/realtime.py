@@ -144,13 +144,26 @@ def _plant_step_np(model_name: str, state, u, dt: float):
     models / the C++ oracle): the pipelined loop's 'robot' integrates in
     real time on the host while solves are in flight on the device."""
     s = np.array(state, dtype=np.float64)
-    heading = s[2] if model_name == "unicycle" else s[2] + float(u[2])
+    if model_name == "unicycle":
+        heading = s[2]
+    elif model_name == "rate_limited_steering":
+        # u[2] is the steering RATE; position integrates with the CURRENT
+        # steering-angle state (ops/rollout.py semantics)
+        heading = s[2] + s[3]
+    else:
+        heading = s[2] + float(u[2])
     s[0] += float(u[0]) * math.cos(heading) * dt
     s[1] += float(u[0]) * math.sin(heading) * dt
     s[2] += float(u[1]) * dt
     if model_name == "full_body":
         s[3] += float(u[3]) * dt
         s[4] += float(u[4]) * dt
+    elif model_name == "rate_limited_steering":
+        from ccv_mppi_path_tracker_tpu.ops.rollout import steer_limits
+
+        steer_max, rate_max = steer_limits(model_name)
+        rate = min(max(float(u[2]), -rate_max), rate_max)
+        s[3] = min(max(s[3] + rate * dt, -steer_max), steer_max)
     return s
 
 

@@ -241,3 +241,26 @@ def test_pipelined_micro_batch_streams_windows():
     assert out["rate_stats"]["cycles"] == 96
     assert len(out["fetch_ms"]) == 3 and out["fetch_ms"]["p95"] >= 0
     assert out["metrics"]["rmse"] < 0.5, out["metrics"]
+
+
+def test_pipelined_rate_limited_plant_kinematics():
+    """The host-side numpy plant must match the jax model for the
+    rate-limited steering family too (u[2] is a steering RATE; heading
+    integrates with the steering-angle STATE, slewed and box-limited)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ccv_mppi_path_tracker_tpu.models import get_model
+    from ccv_mppi_path_tracker_tpu.runtime.realtime import _plant_step_np
+
+    m = get_model("rate_limited_steering")
+    rng = np.random.RandomState(3)
+    s = np.array([0.1, -0.2, 0.3, 0.05])
+    for _ in range(20):
+        u = rng.randn(3).astype(np.float32)
+        s_np = _plant_step_np("rate_limited_steering", s, u, 0.1)
+        s_jx = np.asarray(m.step(jnp.asarray(s, jnp.float64),
+                                 jnp.asarray(u, jnp.float64),
+                                 jnp.float64(0.1)))
+        np.testing.assert_allclose(s_np, s_jx, rtol=1e-12, atol=1e-12)
+        s = s_np
