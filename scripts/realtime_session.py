@@ -242,7 +242,7 @@ def main():
         seconds=args.host_seconds)
     hosts = [] if args.skip_host else host_arm(seconds=args.host_seconds)
     prev = None
-    if args.skip_device or args.skip_host:
+    if args.skip_device or args.skip_host or args.skip_pipelined:
         # partial refresh: carry the arms not re-run this invocation
         path_prev = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -253,7 +253,11 @@ def main():
     if dev is None and prev:
         dev = prev.get("device_resident_session")
     if not hosts and prev:
-        hosts = prev.get("host_rate_ladder", [])
+        hosts = prev.get("host_rate_ladder_synchronous",
+                         prev.get("host_rate_ladder", []))
+    if not piped and prev:
+        piped = prev.get("pipelined_host_ladder", [])
+        comp = prev.get("delay_compensation_closed_loop", {})
     out = {
         "device": str(jax.devices()[0]),
         "device_resident_session": dev,
