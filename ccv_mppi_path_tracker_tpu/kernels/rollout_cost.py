@@ -112,6 +112,9 @@ class KernelVariant(NamedTuple):
       - "carry5" (full_body only): carry step t+1's five control tiles in
         registers so each iteration issues 5 dynamic-indexed u_out reads
         instead of 7 (bit-exact vs fori).
+      - "rowload" (full_body only): one dynamic-indexed load of the whole
+        control row per step — 3 dynamic indexes per iteration instead of
+        7, same tile traffic (bit-exact vs fori).
       All measured same-window at K=1M T=30: artifacts/ab_tloop2.json.
 
     dist_form — "expanded" (3-op centered expanded form, production) |
@@ -669,6 +672,25 @@ def _make_kernel(model: str, horizon: int, num_ref: int, u_dim: int,
                     # sample-only ablation arm: no t-loop at all; one probe
                     # -anchored read keeps the sampled scratch alive
                     cost += probe * u_out[0, 0]
+                elif variant.tloop == "rowload":
+                    # A/B arm: ONE dynamic-indexed load of the whole
+                    # (u_dim, rows, 128) control row per step (plus the two
+                    # t+1 tile loads) — 3 dynamic indexes per iteration
+                    # instead of 7, same 7 tiles of traffic. Discriminates
+                    # per-dynamic-index overhead from read bandwidth in the
+                    # floor table's 2.7 ms loop group. Bit-exact vs fori.
+                    def fb_body_rl(t, carry):
+                        x, y, yaw, roll, pitch, cost = carry
+                        ut = u_out[t]
+                        u_t = tuple(ut[j] for j in range(u_dim))
+                        return fb_step(x, y, yaw, roll, pitch, cost, u_t,
+                                       u_out[t + 1, 0], u_out[t + 1, 3])
+
+                    out = jax.lax.fori_loop(
+                        0, horizon - 2, fb_body_rl,
+                        (x, y, yaw, roll, pitch, cost),
+                    )
+                    x, y, yaw, roll, pitch, cost = out
                 elif variant.tloop == "carry5":
                     # A/B arm: carry step t+1's five control tiles in
                     # registers across iterations so each iteration issues

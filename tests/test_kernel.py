@@ -279,6 +279,7 @@ def test_kernel_variant_arms_match_default():
         (KernelVariant(tloop="block4"), True),
         (KernelVariant(tloop="half2"), True),
         (KernelVariant(tloop="carry5"), True),
+        (KernelVariant(tloop="rowload"), True),
     ]
     for kv, exact in arms:
         _, res = mppi_step(cfg, ctrl, state, path, dt, sp, cp, noise=noise,
