@@ -69,6 +69,13 @@ def plot_tracking(result: dict, out: str = None, label: str = "MPPI"):
 _CMP_COLORS = ("red", "green", "blue", "orange")
 
 
+def _cmp_colors(n):
+    """One color per run, cycling past the palette (no silent run drops)."""
+    import itertools
+
+    return list(itertools.islice(itertools.cycle(_CMP_COLORS), n))
+
+
 def plot_tracking_comparison(results: dict, out: str = None):
     """TWO-RUN (or more) overlay figure — the reference's actual headline
     comparison plot (src/graph2.py:37-41 overlays the with-steering and
@@ -88,7 +95,7 @@ def plot_tracking_comparison(results: dict, out: str = None):
     fig, (ax1, ax2, ax3) = plt.subplots(3, 1, figsize=(9, 9))
     ax1.plot(course[:, 0], course[:, 1], "b--", lw=2, label="Desired Path")
     steered = None
-    for (label, r), color in zip(results.items(), _CMP_COLORS):
+    for (label, r), color in zip(results.items(), _cmp_colors(len(results))):
         states = r["logs"]["state"]
         ax1.plot(states[:, 0], states[:, 1], color=color, lw=2, label=label)
         u0 = r["logs"].get("u0")
@@ -118,7 +125,7 @@ def plot_tracking_comparison(results: dict, out: str = None):
                  label=f"Right Steering Angle ({label})")
         ax3.set_ylabel("Angle [deg]")
     else:
-        for (label, r), color in zip(results.items(), _CMP_COLORS):
+        for (label, r), color in zip(results.items(), _cmp_colors(len(results))):
             u0 = r["logs"].get("u0")
             if u0 is None:
                 continue
@@ -151,7 +158,7 @@ def plot_zmp_comparison(results: dict, zmp_params, dt: float = 0.1,
     from ccv_mppi_path_tracker_tpu.models.full_body import zmp_chain
 
     fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 7))
-    for (label, r), color in zip(results.items(), _CMP_COLORS):
+    for (label, r), color in zip(results.items(), _cmp_colors(len(results))):
         states = np.asarray(r["logs"]["state"])
         u0 = np.asarray(r["logs"]["u0"])
         n = min(len(states), len(u0) + 1)

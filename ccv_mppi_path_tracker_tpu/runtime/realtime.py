@@ -213,6 +213,8 @@ def run_pipelined_experiment(
 
     The plant is a host-side numpy integrator of the same kinematics (the
     robot integrates in real time regardless of what the host does).
+    ``num_cycles`` runs in whole windows: with micro_batch=M the schedule
+    executes ``(num_cycles // M) * M`` paced cycles.
     Returns {"metrics", "rate_stats", "miss_rate", "fetch_ms", ...}.
     """
     import functools
