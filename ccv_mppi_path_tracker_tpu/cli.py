@@ -253,6 +253,10 @@ def cmd_realtime(args):
         os.makedirs(args.record, exist_ok=True)
         rec = os.path.join(args.record, f"{args.preset}_realtime.csv")
     if args.pipelined or args.micro_batch > 1:
+        if rec is not None:
+            print("note: --record is not supported by the pipelined loop "
+                  "(no per-cycle command CSV); running without recording")
+            rec = None
         out = run_pipelined_experiment(
             cfg, sp, cp, course, hz=args.hz, num_cycles=args.steps,
             use_kernel=_kernel_choice(args, cfg),

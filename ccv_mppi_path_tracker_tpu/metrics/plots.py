@@ -94,7 +94,7 @@ def plot_tracking_comparison(results: dict, out: str = None):
     course = first["course"]
     fig, (ax1, ax2, ax3) = plt.subplots(3, 1, figsize=(9, 9))
     ax1.plot(course[:, 0], course[:, 1], "b--", lw=2, label="Desired Path")
-    steered = None
+    series = []  # (label, color, t, u0) — one time axis per run, computed once
     for (label, r), color in zip(results.items(), _cmp_colors(len(results))):
         states = r["logs"]["state"]
         ax1.plot(states[:, 0], states[:, 1], color=color, lw=2, label=label)
@@ -103,13 +103,15 @@ def plot_tracking_comparison(results: dict, out: str = None):
             continue
         n = len(states)
         t = np.arange(len(u0)) * r["metrics"]["time"] / max(n - 1, 1)
+        series.append((label, color, t, u0))
         ax2.plot(t, np.abs(u0[:, 0]), color=color, lw=2, label=label)
-        if steered is None and u0.shape[1] >= 3:
-            steered = (label, t, u0)
     ax1.set_xlabel("X [m]"), ax1.set_ylabel("Y [m]")
     ax1.legend(loc="lower right"), ax1.grid(True)
     ax2.set_xlabel("Time [s]"), ax2.set_ylabel("Velocity [m/s]")
     ax2.legend(loc="lower right"), ax2.grid(True)
+    steered = next(
+        ((lbl, t, u0) for lbl, _, t, u0 in series if u0.shape[1] >= 3), None
+    )
     if steered is not None:
         from ccv_mppi_path_tracker_tpu.solver.command import wheel_steer_angles
         import jax.numpy as jnp
@@ -125,12 +127,7 @@ def plot_tracking_comparison(results: dict, out: str = None):
                  label=f"Right Steering Angle ({label})")
         ax3.set_ylabel("Angle [deg]")
     else:
-        for (label, r), color in zip(results.items(), _cmp_colors(len(results))):
-            u0 = r["logs"].get("u0")
-            if u0 is None:
-                continue
-            n = len(r["logs"]["state"])
-            t = np.arange(len(u0)) * r["metrics"]["time"] / max(n - 1, 1)
+        for label, color, t, u0 in series:
             ax3.plot(t, u0[:, 1], color=color, lw=2, label=label)
         ax3.set_ylabel("Angular Velocity [rad/s]")
     ax3.set_xlabel("Time [s]")

@@ -133,7 +133,15 @@ def softmax_weights(
     denom = jnp.sum(unnorm)
     if axis_name is not None:
         denom = jax.lax.psum(denom, axis_name)
-    weights = unnorm / denom
+    if elite_thresh is not None:
+        # a STALE threshold can mask every sample; keep the weights finite
+        # (all-zero) and report the empty cycle so the caller can hold the
+        # previous plan instead of actuating 0/0 = NaN. The exact rank
+        # threshold guarantees survivors, so only this mode needs the guard.
+        empty = denom <= 0.0
+        weights = unnorm / jnp.where(empty, 1.0, denom)
+    else:
+        weights = unnorm / denom
 
     sum_w2 = jnp.sum(weights * weights)
     mean_cost = jnp.sum(costs)
@@ -151,6 +159,8 @@ def softmax_weights(
     }
     if thresh is not None:
         stats["elite_thresh"] = thresh
+    if elite_thresh is not None:
+        stats["elite_stale_empty"] = empty
     return weights, stats
 
 

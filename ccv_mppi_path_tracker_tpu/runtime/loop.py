@@ -159,6 +159,11 @@ class ControlLoop:
     def set_path(self, path: PathBuffer):
         """Swap the reference course (recompile-free at equal capacity)."""
         self.path = path
+        if self._elite_stale:
+            # the old course's cost threshold is meaningless on the new
+            # one — run the next cycle unmasked, per the first-cycle
+            # contract (prevents an arbitrary/empty stale mask)
+            self._thresh = jnp.asarray(jnp.inf, jnp.float32)
 
     def measure_dt(self) -> float:
         now = time.monotonic()

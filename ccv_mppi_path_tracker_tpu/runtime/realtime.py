@@ -139,10 +139,23 @@ def run_realtime_experiment(
     }
 
 
+_PLANT_NP_MODELS = ("unicycle", "steering_unicycle", "full_body",
+                    "rate_limited_steering")
+
+
 def _plant_step_np(model_name: str, state, u, dt: float):
     """One host-side Euler plant step (numpy; same kinematics as the jax
     models / the C++ oracle): the pipelined loop's 'robot' integrates in
-    real time on the host while solves are in flight on the device."""
+    real time on the host while solves are in flight on the device.
+    Built-in families only — a user-registered model's kinematics are not
+    knowable here, so silently integrating it wrong is refused."""
+    if model_name not in _PLANT_NP_MODELS:
+        raise ValueError(
+            f"run_pipelined_experiment's host plant supports the built-in "
+            f"model families {_PLANT_NP_MODELS}; got {model_name!r}. "
+            f"Drive custom models with run_realtime_experiment (jax plant) "
+            f"or run_tracking_experiment."
+        )
     s = np.array(state, dtype=np.float64)
     if model_name == "unicycle":
         heading = s[2]

@@ -216,9 +216,33 @@ def mppi_step(
             norm = jax.lax.psum(norm * rescale, axis_name)
             if adapt_sigma:
                 u2_num = jax.lax.psum(u2_num * rescale, axis_name)
-        u_opt = u_num / norm
+        if elite_stale_thresh is not None:
+            # A STALE threshold can mask every sample (cost distribution
+            # jumped since last cycle: disturbance, state reset, course
+            # swap). 0/0 here would write NaN into u_prev and poison every
+            # later cycle — hold the sampling center instead (an
+            # information-free cycle keeps the previous plan) and report it.
+            # The exact two-pass flow cannot hit this (its threshold is the
+            # current costs' rank statistic), so this guard is scoped to
+            # the stale mode and the production graphs are untouched.
+            empty = norm <= 0.0
+            stats["elite_stale_empty"] = empty
+            u_opt = jnp.where(
+                empty, u_mean, u_num / jnp.where(empty, 1.0, norm)
+            )
+        else:
+            u_opt = u_num / norm
         if adapt_sigma:
-            stats["sigma_suggest"] = _sigma_suggest(u2_num / norm, u_opt)
+            safe_norm = norm
+            if elite_stale_thresh is not None:
+                # empty stale cycle: suggest the configured sigma (no
+                # information) instead of a NaN that would poison the
+                # sigma-adaptation feedback
+                safe_norm = jnp.where(norm <= 0.0, 1.0, norm)
+            sig = _sigma_suggest(u2_num / safe_norm, u_opt)
+            if elite_stale_thresh is not None:
+                sig = jnp.where(norm <= 0.0, sp.control_noise, sig)
+            stats["sigma_suggest"] = sig
         u_opt = _maybe_refine(
             cfg, u_opt, state, ref, dt, sp, cp, model_params,
             refine_steps, refine_step_size, refine_method,
@@ -263,9 +287,17 @@ def mppi_step(
             states[:, :debug_candidates, :2], (1, 0, 2)
         )
     u_opt = weighted_update(weights, u_samples, axis_name=axis_name)
+    if elite_stale_thresh is not None:
+        # empty stale cycle (every sample masked): hold the sampling
+        # center instead of the all-zero-weights average (see the kernel
+        # branch's guard above)
+        u_opt = jnp.where(stats["elite_stale_empty"], u_mean, u_opt)
     if adapt_sigma:
         m2 = weighted_update(weights, u_samples * u_samples, axis_name=axis_name)
-        stats["sigma_suggest"] = _sigma_suggest(m2, u_opt)
+        sig = _sigma_suggest(m2, u_opt)
+        if elite_stale_thresh is not None:
+            sig = jnp.where(stats["elite_stale_empty"], sp.control_noise, sig)
+        stats["sigma_suggest"] = sig
     u_opt = _maybe_refine(
         cfg, u_opt, state, ref, dt, sp, cp, model_params,
         refine_steps, refine_step_size, refine_method,

@@ -6,7 +6,11 @@ distance forms x {chunked fori_loop, full constant-index unroll} scan
 structures of kernels/rollout_cost.py INTERLEAVED on the real chip
 (chained-marginal timing, min over reps — see bench.py docstring), plus each
 variant's trace+compile wall time. Writes artifacts/ab_mindist.json; the
-production defaults (_DIST_FORM/_MINDIST_UNROLL) are set to the winner.
+production defaults live in KernelVariant's field defaults
+(kernels/rollout_cost.py dist_form/mindist_unroll) — arms are passed
+explicitly here, nothing is monkey-patched. Round-5 caveat recorded in the
+artifact: the chunk-vs-full delta is below reproducibility at current
+relay load, so a default change needs a repeat-run confirmation.
 
 Run with nothing else on the TPU: same-config timings vary ~1.2-2x with
 relay/service load, which interleaving cancels but concurrency does not.

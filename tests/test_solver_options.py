@@ -607,3 +607,41 @@ def test_elite_stale_scan_threads_threshold():
                                np.asarray(res0.u0), rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(logs["u0"][1]),
                                np.asarray(res1.u0), rtol=1e-6, atol=1e-7)
+
+
+def test_elite_stale_empty_mask_holds_previous_plan():
+    """A stale threshold BELOW every current cost (cost distribution
+    jumped between cycles) must not produce 0/0 = NaN: both paths hold
+    the sampling center (the previous plan), stay finite, and flag the
+    cycle in stats["elite_stale_empty"]."""
+    from ccv_mppi_path_tracker_tpu.core import ControllerState
+    from ccv_mppi_path_tracker_tpu.core.presets import full_body_launch
+    from ccv_mppi_path_tracker_tpu.paths import PathBuffer
+
+    K, T = 512, 8
+    cfg, sp, cp, course = full_body_launch(num_samples=K, horizon=T)
+    path = PathBuffer.from_points(course, 0.1)
+    u_prev = jnp.asarray(
+        np.random.RandomState(4).randn(T - 1, 5) * 0.1, jnp.float32
+    )
+    ctrl = ControllerState(u_prev=u_prev, key=jax.random.PRNGKey(3),
+                           step=jnp.zeros((), jnp.int32))
+    state = jnp.zeros(5, jnp.float32).at[1].set(float(course[0, 1]))
+    noise = jnp.asarray(np.random.RandomState(9).randn(T - 1, K, 5),
+                        jnp.float32)
+    dt = jnp.float32(0.1)
+    for kernel in (False, True):
+        _, res = mppi_step(
+            cfg, ctrl, state, path, dt, sp, cp, noise=noise,
+            elite_frac=0.25, elite_stale_thresh=jnp.float32(-1.0),
+            use_kernel=kernel, kernel_interpret=kernel or None,
+        )
+        assert bool(res.stats["elite_stale_empty"]), f"kernel={kernel}"
+        assert np.isfinite(np.asarray(res.u_opt)).all(), f"kernel={kernel}"
+        # information-free cycle: hold the previous plan (the unshifted
+        # sampling center, reference warm-start semantics)
+        np.testing.assert_array_equal(np.asarray(res.u_opt),
+                                      np.asarray(u_prev))
+        # and the reported NEXT threshold is still the current exact rank
+        # statistic, so the loop recovers by itself on the next cycle
+        assert np.isfinite(float(res.stats["elite_thresh"]))
